@@ -1,0 +1,116 @@
+"""Hamming descriptor matching on the MXU.
+
+Replaces ORB-SLAM2's ``ORBmatcher`` (scalar Hamming popcount loops with grid
+candidate windows). The TPU formulation: descriptors live as ±1 int8 vectors
+of length 256, so for a, b ∈ {−1,+1}²⁵⁶,
+
+    hamming(a, b) = (256 − a·b) / 2
+
+and an [N1, 256] x [256, N2] int8 matmul computes the *entire* distance matrix
+in one MXU pass (~0.13 GMAC for 1k x 1k descriptors — trivial). Candidate
+windowing (projection search radius, scale gates, rotation-consistency) become
+masks over the distance matrix instead of candidate lists.
+
+ORB-SLAM2 thresholds are kept: TH_HIGH=100, TH_LOW=50, ratio 0.9 / 0.75.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+TH_HIGH = 100
+TH_LOW = 50
+INVALID = jnp.int32(-1)
+BIG = jnp.float32(1e9)
+
+
+def hamming_matrix(desc1_pm1: jnp.ndarray, desc2_pm1: jnp.ndarray) -> jnp.ndarray:
+    """[N1, 256] x [N2, 256] ±1 int8 -> [N1, N2] int32 Hamming distances."""
+    dot = jax.lax.dot_general(
+        desc1_pm1, desc2_pm1,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return (desc1_pm1.shape[-1] - dot) // 2
+
+
+class MatchResult(NamedTuple):
+    idx: jnp.ndarray    # [N1] int32 index into set 2, -1 = unmatched
+    dist: jnp.ndarray   # [N1] int32 best Hamming distance (garbage if unmatched)
+
+
+@functools.partial(jax.jit, static_argnames=("max_dist", "ratio", "mutual"))
+def match_descriptors(
+    desc1_pm1: jnp.ndarray,
+    desc2_pm1: jnp.ndarray,
+    valid1: jnp.ndarray,
+    valid2: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    *,
+    max_dist: int = TH_LOW,
+    ratio: float = 0.9,
+    mutual: bool = True,
+) -> MatchResult:
+    """Best-match with distance threshold, Lowe ratio and mutual-check gates.
+
+    mask: optional [N1, N2] bool of *allowed* pairs (spatial window / scale
+    gates); disallowed pairs are treated as infinitely far.
+    """
+    D = hamming_matrix(desc1_pm1, desc2_pm1).astype(jnp.float32)
+    allowed = valid1[:, None] & valid2[None, :]
+    if mask is not None:
+        allowed = allowed & mask
+    D = jnp.where(allowed, D, BIG)
+
+    # best and second-best along axis 1
+    neg = -D
+    top2, top2_idx = jax.lax.top_k(neg, 2)
+    best = -top2[:, 0]
+    second = -top2[:, 1]
+    best_idx = top2_idx[:, 0]
+
+    ok = (best <= max_dist) & (best < ratio * second)
+    if mutual:
+        best_of_2 = jnp.argmin(D, axis=0)           # [N2]
+        ok = ok & (best_of_2[best_idx] == jnp.arange(D.shape[0]))
+    idx = jnp.where(ok, best_idx, INVALID)
+    return MatchResult(idx=idx.astype(jnp.int32), dist=best.astype(jnp.int32))
+
+
+def window_mask(uv1_pred: jnp.ndarray, uv2: jnp.ndarray, radius) -> jnp.ndarray:
+    """[N1, 2], [N2, 2] -> [N1, N2] bool: |uv2 - uv1_pred| within radius.
+
+    radius may be scalar or per-row [N1] (scale-dependent search windows, the
+    ORB-SLAM2 search-by-projection behavior).
+    """
+    d2 = jnp.sum((uv1_pred[:, None, :] - uv2[None, :, :]) ** 2, axis=-1)
+    r = jnp.asarray(radius, jnp.float32)
+    r2 = (r ** 2)[..., None] if r.ndim == 1 else r ** 2
+    return d2 <= r2
+
+
+def level_mask(level1: jnp.ndarray, level2: jnp.ndarray, max_diff: int = 1) -> jnp.ndarray:
+    """Scale-consistency gate: match only within ±max_diff pyramid levels."""
+    return jnp.abs(level1[:, None] - level2[None, :]) <= max_diff
+
+
+def rotation_consistency(angle1: jnp.ndarray, angle2: jnp.ndarray,
+                         match: MatchResult, n_bins: int = 30,
+                         keep_bins: int = 3) -> MatchResult:
+    """Histogram-of-rotation filter (ORB-SLAM2's CheckOrientation semantics):
+    keep matches whose angle difference falls in the `keep_bins` most popular
+    of `n_bins` histogram bins. Fully vectorized via one-hot bincount."""
+    matched = match.idx >= 0
+    da = angle1 - angle2[jnp.clip(match.idx, 0, None)]
+    da = jnp.mod(da, 2.0 * jnp.pi)
+    bins = jnp.floor(da / (2.0 * jnp.pi) * n_bins).astype(jnp.int32) % n_bins
+    counts = jnp.sum(jax.nn.one_hot(bins, n_bins, dtype=jnp.int32)
+                     * matched[:, None], axis=0)
+    _, top_bins = jax.lax.top_k(counts, keep_bins)
+    in_top = jnp.any(bins[:, None] == top_bins[None, :], axis=-1)
+    idx = jnp.where(matched & in_top, match.idx, INVALID)
+    return MatchResult(idx=idx, dist=match.dist)
