@@ -35,6 +35,8 @@ def fixture_dir():
     return FIXTURE_DIR
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # function-scoped: every test sees the same deterministic stream
+    # regardless of which other tests ran before it.
     return np.random.default_rng(0)

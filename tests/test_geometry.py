@@ -23,7 +23,7 @@ def test_so3_exp_log_roundtrip(rng):
     err = jnp.abs(R @ jnp.swapaxes(R, -1, -2) - jnp.eye(3)).max()
     assert err < 1e-5
     phi2 = so3_log(R)
-    np.testing.assert_allclose(np.asarray(so3_exp(phi2)), np.asarray(R), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(so3_exp(phi2)), np.asarray(R), atol=1e-4)
 
 
 def test_so3_small_angle(rng):
