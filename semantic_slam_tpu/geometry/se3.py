@@ -136,6 +136,20 @@ def se3_compose(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
     return A @ B
 
 
+def orthonormalize_pose(T: jnp.ndarray, iters: int = 3) -> jnp.ndarray:
+    """Project the rotation block back onto SO(3) (Newton polar iteration
+    X <- (X + X^-T)/2, quadratic convergence).
+
+    Long chains of f32 pose products drift off the manifold, and the
+    transpose-based inverse then *amplifies* the drift geometrically — any
+    per-frame pose pipeline must re-project after its optimization step.
+    """
+    R = T[..., :3, :3]
+    for _ in range(iters):
+        R = 0.5 * (R + jnp.linalg.inv(jnp.swapaxes(R, -1, -2)))
+    return _rt_to_mat(R, T[..., :3, 3])
+
+
 def transform_points(T: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
     """Apply [..., 4, 4] transform(s) to [..., N, 3] points."""
     R = T[..., :3, :3]

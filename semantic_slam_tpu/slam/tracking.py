@@ -1,0 +1,192 @@
+"""Frame tracking: pose-only Gauss-Newton + search-by-projection.
+
+TPU-native replacement for ORB-SLAM2's ``Tracking`` thread (constant-velocity
+motion model, projection-window matching, pose optimization, keyframe
+decision — reference ``include/ORB_SLAM2/System.h:200-203``). The per-frame
+compute (project all map points, window-match descriptors, iterate GN) is one
+jitted program with static shapes; only the keyframe decision and map growth
+stay on the host.
+
+Pose parametrization: left-multiplied se3 twist, Tcw = exp(xi) ⊕ Tcw_prev.
+Robustness: Huber weights with per-level inv-sigma² scaling (ORB-SLAM2's
+pyramid noise model), plus a chi² cut between GN rounds (its 4-round outlier
+rejection, made branchless via weight masks).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from semantic_slam_tpu.geometry.camera import Intrinsics, project, in_image
+from semantic_slam_tpu.geometry.se3 import se3_exp, transform_points, orthonormalize_pose
+from semantic_slam_tpu.ops.match import match_descriptors, window_mask, level_mask
+
+CHI2_2D = 5.991  # 95% chi2 with 2 dof (ORB-SLAM2 outlier threshold)
+
+
+class PoseOptResult(NamedTuple):
+    Tcw: jnp.ndarray        # [4, 4]
+    inliers: jnp.ndarray    # [N] bool
+    chi2: jnp.ndarray       # [] final weighted cost
+    n_inliers: jnp.ndarray  # [] int32
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "rounds"))
+def pose_optimize(
+    intr: Intrinsics,
+    Tcw0: jnp.ndarray,
+    pts_w: jnp.ndarray,      # [N, 3]
+    uv_obs: jnp.ndarray,     # [N, 2]
+    w_valid: jnp.ndarray,    # [N] bool
+    inv_sigma2: jnp.ndarray, # [N] per-obs information (1/sigma^2)
+    *,
+    iters: int = 4,
+    rounds: int = 4,
+) -> PoseOptResult:
+    """Pose-only bundle adjustment on one camera.
+
+    `rounds` outer rounds of `iters` GN steps; after each round observations
+    with chi² > 5.991 are masked out (and can re-enter if they recover, like
+    ORB-SLAM2's PoseOptimization)."""
+
+    def residuals_jac(Tcw):
+        pc = transform_points(Tcw[None], pts_w[None])[0]      # [N, 3]
+        uv, z = project(intr, pc)
+        r = uv - uv_obs                                       # [N, 2]
+        X, Y = pc[:, 0], pc[:, 1]
+        Z = jnp.maximum(z, 1e-6)
+        fx, fy = intr.fx, intr.fy
+        zero = jnp.zeros_like(Z)
+        # d(uv)/d(p_cam):
+        Ju = jnp.stack([fx / Z, zero, -fx * X / Z ** 2], -1)  # [N, 3]
+        Jv = jnp.stack([zero, fy / Z, -fy * Y / Z ** 2], -1)
+        Jp = jnp.stack([Ju, Jv], -2)                          # [N, 2, 3]
+        # d(p_cam)/d(xi) for left perturbation: [I | -skew(p_cam)]
+        I3 = jnp.broadcast_to(jnp.eye(3), (pts_w.shape[0], 3, 3))
+        px = pc[:, 0]; py = pc[:, 1]; pz = pc[:, 2]
+        z3 = jnp.zeros_like(px)
+        S = jnp.stack([
+            jnp.stack([z3, -pz, py], -1),
+            jnp.stack([pz, z3, -px], -1),
+            jnp.stack([-py, px, z3], -1)], -2)                # [N, 3, 3] skew
+        Jxi = jnp.concatenate([I3, -S], axis=-1)              # [N, 3, 6]
+        J = Jp @ Jxi                                          # [N, 2, 6]
+        return r, J, z
+
+    def gn_round(carry, _):
+        Tcw, w_mask = carry
+
+        def gn_step(Tcw, _):
+            r, J, z = residuals_jac(Tcw)
+            valid = w_mask & (z > 0.05)
+            chi2 = jnp.sum(r * r, -1) * inv_sigma2
+            # Huber on the residual norm
+            delta = jnp.sqrt(CHI2_2D)
+            rn = jnp.sqrt(jnp.maximum(chi2, 1e-12))
+            w_huber = jnp.where(rn <= delta, 1.0, delta / rn)
+            w = valid * inv_sigma2 * w_huber                  # [N]
+            H = jnp.einsum("nik,n,nil->kl", J, w, J)
+            b = jnp.einsum("nik,n,ni->k", J, w, r)
+            H = H + 1e-6 * jnp.eye(6)
+            dx = -jnp.linalg.solve(H, b)
+            # trust region: a near-singular system (too few matches) must not
+            # produce a huge twist — f32 Rodrigues degrades at large angles
+            # and the pose would leave the basin instead of re-entering it.
+            nrm = jnp.linalg.norm(dx)
+            dx = dx * jnp.minimum(1.0, 1.0 / (nrm + 1e-12))
+            dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
+            return se3_exp(dx) @ Tcw, None
+
+        Tcw, _ = jax.lax.scan(gn_step, Tcw, None, length=iters)
+        # re-evaluate inliers for the next round
+        r, _, z = residuals_jac(Tcw)
+        chi2 = jnp.sum(r * r, -1) * inv_sigma2
+        w_mask = w_valid & (chi2 <= CHI2_2D) & (z > 0.05)
+        return (Tcw, w_mask), None
+
+    (Tcw, w_mask), _ = jax.lax.scan(gn_round, (Tcw0, w_valid), None, length=rounds)
+    Tcw = orthonormalize_pose(Tcw)
+    r, _, z = residuals_jac(Tcw)
+    chi2 = jnp.sum(r * r, -1) * inv_sigma2
+    inliers = w_mask & (chi2 <= CHI2_2D)
+    return PoseOptResult(
+        Tcw=Tcw,
+        inliers=inliers,
+        chi2=jnp.sum(jnp.where(inliers, chi2, 0.0)),
+        n_inliers=jnp.sum(inliers).astype(jnp.int32),
+    )
+
+
+class TrackResult(NamedTuple):
+    Tcw: jnp.ndarray          # [4, 4] optimized pose
+    n_matches: jnp.ndarray    # [] i32 accepted projection matches
+    n_inliers: jnp.ndarray    # [] i32 pose-opt inliers
+    match_pt: jnp.ndarray     # [N_kp] i32 map-point slot matched to each keypoint (-1)
+    inlier_kp: jnp.ndarray    # [N_kp] bool keypoint is a pose inlier
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "max_dist"))
+def track_with_map(
+    intr: Intrinsics,
+    Tcw_pred: jnp.ndarray,     # [4, 4] motion-model prediction
+    pt_xyz: jnp.ndarray,       # [P, 3] map points (world)
+    pt_desc_pm1: jnp.ndarray,  # [P, 256] int8
+    pt_valid: jnp.ndarray,     # [P] bool
+    kp_uv: jnp.ndarray,        # [N, 2] frame keypoints
+    kp_desc_pm1: jnp.ndarray,  # [N, 256] int8
+    kp_valid: jnp.ndarray,     # [N] bool
+    kp_level: jnp.ndarray,     # [N] i32
+    width: int = 640,
+    height: int = 480,
+    *,
+    radius: float = 15.0,
+    max_dist: int = 75,
+) -> TrackResult:
+    """Search-by-projection + pose GN against a (local) map.
+
+    Mirrors ORB-SLAM2 TrackWithMotionModel/TrackLocalMap: project every valid
+    map point with the predicted pose, gate candidate keypoints to a pixel
+    window, Hamming-match on the MXU, then optimize the pose on the matches.
+    """
+    pc = transform_points(Tcw_pred[None], pt_xyz[None])[0]
+    uv_proj, z = project(intr, pc)
+    visible = pt_valid & (z > 0.05) & in_image(uv_proj, width, height, margin=5)
+
+    mask = window_mask(uv_proj, kp_uv, radius)
+    res = match_descriptors(pt_desc_pm1, kp_desc_pm1, visible, kp_valid,
+                            mask, max_dist=max_dist, ratio=0.95, mutual=True)
+    matched = res.idx >= 0                                   # [P]
+    kp_idx = jnp.clip(res.idx, 0, None)
+    uv_obs = kp_uv[kp_idx]
+    inv_sigma2 = 1.0 / (1.2 ** (2.0 * kp_level[kp_idx].astype(jnp.float32)))
+
+    opt = pose_optimize(intr, Tcw_pred, pt_xyz, uv_obs, matched, inv_sigma2)
+
+    # per-keypoint view of the matching (for map bookkeeping on the host)
+    N = kp_uv.shape[0]
+    match_pt = jnp.full((N,), -1, jnp.int32)
+    pslots = jnp.arange(pt_xyz.shape[0], dtype=jnp.int32)
+    match_pt = match_pt.at[kp_idx].set(jnp.where(matched, pslots, -1), mode="drop")
+    inlier_kp = jnp.zeros((N,), bool).at[kp_idx].set(opt.inliers, mode="drop")
+    return TrackResult(
+        Tcw=opt.Tcw,
+        n_matches=jnp.sum(matched).astype(jnp.int32),
+        n_inliers=opt.n_inliers,
+        match_pt=match_pt,
+        inlier_kp=inlier_kp,
+    )
+
+
+def need_keyframe(n_inliers: int, n_ref_inliers: int, frames_since_kf: int,
+                  *, min_inliers: int = 30, ratio: float = 0.75,
+                  max_gap: int = 30) -> bool:
+    """Host-side keyframe decision (condensed ORB-SLAM2 NeedNewKeyFrame:
+    insert when tracking weakens below a fraction of the reference keyframe
+    or after a maximum frame gap, provided tracking is still healthy)."""
+    if n_inliers < min_inliers:
+        return False
+    return (n_inliers < ratio * max(n_ref_inliers, 1)) or (frames_since_kf >= max_gap)
