@@ -1,0 +1,437 @@
+"""SlamSystem: the stage-1 SLAM driver (ORB-SLAM2 ``System`` equivalent).
+
+Replaces the reference's patched ``ORB_SLAM2::System`` (reference
+``include/ORB_SLAM2/System.h:73-174``): TrackRGBD / TrackFeatures entry
+points, map construction, keyframe management, local BA, and the full set of
+map exporters (SaveMap/SaveCoords/SaveAssociations/SaveCameraGraph/
+SaveFrameId/SaveTrajectoryTUM), byte-compatible with the reference formats.
+
+Architecture: the reference's four threads + mutexes (Tracking, LocalMapping,
+LoopClosing, Viewer — reference ``System.cc:93-107``) become a *host-side
+sequential orchestrator* driving jitted batched programs:
+
+  - per-frame: ORB extraction + track_with_map (one compiled program each)
+  - per-keyframe: map insertion (host numpy bookkeeping), covisibility
+    (one matmul), local BA (one compiled LM/Schur program on a compact
+    fixed-capacity window problem)
+
+State lives in numpy mirrors of MapArrays between jitted calls; there is no
+shared-mutable-state concurrency to lock. Loop closing plugs in via
+slam.loop (separate module).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from semantic_slam_tpu.config import SlamConfig
+from semantic_slam_tpu.geometry.camera import Intrinsics
+from semantic_slam_tpu.geometry.se3 import se3_inverse, orthonormalize_pose
+from semantic_slam_tpu.io import mapio
+from semantic_slam_tpu.slam.ba import BAProblem, bundle_adjust
+from semantic_slam_tpu.slam.map import MapArrays
+from semantic_slam_tpu.slam.tracking import track_with_map, need_keyframe
+from semantic_slam_tpu.ops.orb import extract_orb, unpack_to_pm1
+
+
+@dataclasses.dataclass
+class FrameInput:
+    """Pre-extracted frame features (the sensor-agnostic tracking input)."""
+    uv: np.ndarray          # [N, 2]
+    level: np.ndarray       # [N]
+    desc_u8: np.ndarray     # [N, 32]
+    desc_pm1: np.ndarray    # [N, 256]
+    valid: np.ndarray       # [N]
+    depth: np.ndarray       # [N] metric depth per keypoint (0 = unknown)
+    timestamp: float = 0.0
+
+
+class SlamSystem:
+    """Sequential RGB-D/stereo-depth SLAM over fixed-capacity map arrays."""
+
+    # local BA window capacities (static shapes => one XLA compilation)
+    BA_CAMS = 16          # free + fixed cameras in the window problem
+    BA_FREE = 5           # newest keyframes optimized
+    BA_PTS = 2048
+    BA_OBS = 8
+
+    def __init__(self, cfg: SlamConfig):
+        self.cfg = cfg
+        self.intr = Intrinsics.from_config(cfg.camera)
+        mc = cfg.map
+        self.K = mc.max_keyframes
+        self.P = mc.max_points
+        self.N = mc.max_kp_per_frame
+        self.O = mc.max_obs_per_point
+
+        # numpy mirrors of MapArrays (mutated on host, shipped to device ops)
+        self.kf_pose = np.tile(np.eye(4, dtype=np.float32), (self.K, 1, 1))
+        self.kf_valid = np.zeros(self.K, bool)
+        self.kf_frame_id = np.full(self.K, -1, np.int64)
+        self.kf_kp_uv = np.zeros((self.K, self.N, 2), np.float32)
+        self.kf_kp_level = np.zeros((self.K, self.N), np.int32)
+        self.kf_kp_valid = np.zeros((self.K, self.N), bool)
+        self.kf_desc = np.zeros((self.K, self.N, 32), np.uint8)
+        self.kf_kp_depth = np.zeros((self.K, self.N), np.float32)
+        self.pt_xyz = np.zeros((self.P, 3), np.float32)
+        self.pt_valid = np.zeros(self.P, bool)
+        self.pt_desc = np.zeros((self.P, 32), np.uint8)
+        self.pt_desc_pm1 = np.zeros((self.P, 256), np.int8)
+        self.pt_obs_kf = np.full((self.P, self.O), -1, np.int32)
+        self.pt_obs_kp = np.full((self.P, self.O), -1, np.int32)
+        self.pt_obs_n = np.zeros(self.P, np.int32)
+        self.pt_first_kf = np.zeros(self.P, np.int32)   # creation keyframe
+        self.pt_found = np.zeros(self.P, np.int32)      # times matched inlier
+        self.pt_visible = np.zeros(self.P, np.int32)    # times in frustum
+        self.covis_idx = np.full((self.K, mc.covis_max_neighbors), -1, np.int32)
+        self.covis_w = np.zeros((self.K, mc.covis_max_neighbors), np.int32)
+        self.kf_parent = np.full(self.K, -1, np.int32)
+        self.loop_edges = np.full((self.K, 4), -1, np.int32)
+        self.n_kf = 0
+        self.n_pt = 0
+
+        # tracking state
+        self.Tcw = np.eye(4, dtype=np.float32)
+        self.velocity = np.eye(4, dtype=np.float32)
+        self.last_kf_id = -1
+        self.frames_since_kf = 0
+        self.ref_kf_inliers = 0
+        self.frame_count = 0
+        self.state = "NOT_INITIALIZED"     # -> OK / LOST
+        self.trajectory: List[Tuple[float, np.ndarray]] = []   # (t, Tcw)
+        self.kf_timestamps: List[float] = []
+        self.stats = {"n_tracked": [], "n_inliers": []}
+
+    # ------------------------------------------------------------------
+    # public API (System.h:73-174 parity)
+    # ------------------------------------------------------------------
+
+    def track_rgbd(self, gray: np.ndarray, depth: np.ndarray,
+                   timestamp: float = 0.0) -> np.ndarray:
+        """Track one RGB-D frame (image path). Returns Tcw [4,4]."""
+        feats = extract_orb(jnp.asarray(gray, jnp.float32), self.cfg.orb)
+        uv = np.asarray(feats.uv)
+        xi = np.clip(uv[:, 0].astype(int), 0, depth.shape[1] - 1)
+        yi = np.clip(uv[:, 1].astype(int), 0, depth.shape[0] - 1)
+        d = depth[yi, xi].astype(np.float32)
+        fi = FrameInput(
+            uv=uv, level=np.asarray(feats.level),
+            desc_u8=np.asarray(feats.desc_u8),
+            desc_pm1=np.asarray(feats.desc_pm1),
+            valid=np.asarray(feats.valid), depth=d, timestamp=timestamp)
+        return self.track_features(fi)
+
+    def track_features(self, fi: FrameInput) -> np.ndarray:
+        """Track one frame given extracted features (+per-keypoint depth)."""
+        fi = self._pad_frame(fi)
+        if self.state == "NOT_INITIALIZED":
+            self._initialize(fi)
+        else:
+            self._track(fi)
+        self.frame_count += 1
+        self.trajectory.append((fi.timestamp, self.Tcw.copy()))
+        return self.Tcw.copy()
+
+    def shutdown(self):
+        """Final global refinement hook (parity with System::Shutdown)."""
+        pass
+
+    # ------------------------------------------------------------------
+    # internals
+    # ------------------------------------------------------------------
+
+    def _pad_frame(self, fi: FrameInput) -> FrameInput:
+        n = len(fi.uv)
+        if n == self.N:
+            return fi
+        if n > self.N:
+            order = np.argsort(~fi.valid)   # keep valid first
+            sel = order[: self.N]
+            return FrameInput(fi.uv[sel], fi.level[sel], fi.desc_u8[sel],
+                              fi.desc_pm1[sel], fi.valid[sel], fi.depth[sel],
+                              fi.timestamp)
+        pad = self.N - n
+        return FrameInput(
+            np.pad(fi.uv, ((0, pad), (0, 0))), np.pad(fi.level, (0, pad)),
+            np.pad(fi.desc_u8, ((0, pad), (0, 0))),
+            np.pad(fi.desc_pm1, ((0, pad), (0, 0))),
+            np.pad(fi.valid, (0, pad)), np.pad(fi.depth, (0, pad)),
+            fi.timestamp)
+
+    def _initialize(self, fi: FrameInput):
+        depth_ok = fi.valid & (fi.depth > self.cfg.engine.min_depth)
+        if depth_ok.sum() < 50:
+            return
+        self.Tcw = np.eye(4, dtype=np.float32)
+        kf = self._insert_keyframe(fi)
+        self.state = "OK"
+        self.ref_kf_inliers = int(depth_ok.sum())
+        self.last_kf_id = kf
+        self.frames_since_kf = 0
+
+    def _track(self, fi: FrameInput):
+        Tcw_pred = (self.velocity @ self.Tcw).astype(np.float32)
+        res = track_with_map(
+            self.intr, jnp.asarray(Tcw_pred),
+            jnp.asarray(self.pt_xyz), jnp.asarray(self.pt_desc_pm1),
+            jnp.asarray(self.pt_valid),
+            jnp.asarray(fi.uv), jnp.asarray(fi.desc_pm1),
+            jnp.asarray(fi.valid), jnp.asarray(fi.level),
+            self.cfg.camera.width, self.cfg.camera.height,
+            radius=15.0, max_dist=75)
+        n_inl = int(res.n_inliers)
+        self.stats["n_tracked"].append(int(res.n_matches))
+        self.stats["n_inliers"].append(n_inl)
+        if n_inl < 10:
+            # lost: fall back to prediction (relocalization comes with loop
+            # module's place recognition; reference parity: tracking LOST flag)
+            self.state = "LOST"
+            self.Tcw = Tcw_pred
+            self.velocity = np.eye(4, dtype=np.float32)
+            self.frames_since_kf += 1
+            return
+        self.state = "OK"
+        Tcw_new = np.asarray(res.Tcw)
+        self.velocity = (Tcw_new @ np.asarray(
+            se3_inverse(jnp.asarray(self.Tcw)))).astype(np.float32)
+        self.Tcw = Tcw_new
+        self.frames_since_kf += 1
+
+        # bookkeeping for culling
+        match_pt = np.asarray(res.match_pt)
+        inlier_kp = np.asarray(res.inlier_kp)
+        matched_pts = match_pt[(match_pt >= 0) & inlier_kp]
+        self.pt_found[matched_pts] += 1
+
+        if need_keyframe(n_inl, self.ref_kf_inliers, self.frames_since_kf,
+                         min_inliers=30, ratio=0.75, max_gap=20):
+            kf = self._insert_keyframe(fi, match_pt=match_pt, inlier_kp=inlier_kp)
+            self.last_kf_id = kf
+            self.frames_since_kf = 0
+            self.ref_kf_inliers = n_inl
+            self._local_ba()
+            self._cull_points()
+
+    # --- keyframe insertion / map growth --------------------------------
+
+    def _insert_keyframe(self, fi: FrameInput,
+                         match_pt: Optional[np.ndarray] = None,
+                         inlier_kp: Optional[np.ndarray] = None) -> int:
+        if self.n_kf >= self.K:
+            raise RuntimeError("keyframe capacity exceeded")
+        k = self.n_kf
+        self.n_kf += 1
+        self.kf_valid[k] = True
+        self.kf_pose[k] = self.Tcw
+        self.kf_frame_id[k] = self.frame_count
+        self.kf_kp_uv[k] = fi.uv
+        self.kf_kp_level[k] = fi.level
+        self.kf_kp_valid[k] = fi.valid
+        self.kf_desc[k] = fi.desc_u8
+        self.kf_kp_depth[k] = fi.depth
+        self.kf_timestamps.append(fi.timestamp)
+        if self.n_kf >= 2:
+            self.kf_parent[k] = self.last_kf_id
+
+        # 1) add observations for tracked map points
+        claimed = np.zeros(self.N, bool)
+        if match_pt is not None:
+            sel = (match_pt >= 0) & inlier_kp
+            for kp_i in np.nonzero(sel)[0]:
+                p = match_pt[kp_i]
+                n = self.pt_obs_n[p]
+                if n < self.O:
+                    self.pt_obs_kf[p, n] = k
+                    self.pt_obs_kp[p, n] = kp_i
+                    self.pt_obs_n[p] = n + 1
+                claimed[kp_i] = True
+
+        # 2) create new map points from unmatched keypoints with depth
+        #    (ORB-SLAM2 RGBD new-point rule: close points from depth)
+        cam = self.cfg.camera
+        eng = self.cfg.engine
+        new_sel = (fi.valid & ~claimed & (fi.depth > eng.min_depth)
+                   & (fi.depth < cam.bf / cam.fx * cam.th_depth))
+        idxs = np.nonzero(new_sel)[0]
+        free = self.P - self.n_pt
+        if len(idxs) > free:
+            idxs = idxs[:free]
+        if len(idxs) > 0:
+            uv = fi.uv[idxs]
+            d = fi.depth[idxs]
+            x = (uv[:, 0] - cam.cx) / cam.fx * d
+            y = (uv[:, 1] - cam.cy) / cam.fy * d
+            pc = np.stack([x, y, d], -1)
+            Twc = np.asarray(se3_inverse(jnp.asarray(self.Tcw)))
+            pw = pc @ Twc[:3, :3].T + Twc[:3, 3]
+            sl = np.arange(self.n_pt, self.n_pt + len(idxs))
+            self.n_pt += len(idxs)
+            self.pt_xyz[sl] = pw
+            self.pt_valid[sl] = True
+            self.pt_desc[sl] = fi.desc_u8[idxs]
+            self.pt_desc_pm1[sl] = fi.desc_pm1[idxs]
+            self.pt_obs_kf[sl, 0] = k
+            self.pt_obs_kp[sl, 0] = idxs
+            self.pt_obs_n[sl] = 1
+            self.pt_first_kf[sl] = k
+
+        self._update_covisibility(k)
+        return k
+
+    def _update_covisibility(self, k: int):
+        """Covisibility edges for keyframe k from shared observations."""
+        C = self.covis_idx.shape[1]
+        obs = self.pt_obs_kf[self.pt_valid & (self.pt_obs_n > 0)]
+        sees_k = (obs == k).any(axis=1)
+        partners = obs[sees_k]
+        counts = np.bincount(partners[partners >= 0], minlength=self.K)
+        counts[k] = 0
+        weights = np.where(counts >= 5, counts, 0)  # min weight threshold
+        order = np.argsort(-weights)[:C]
+        sel = weights[order] > 0
+        self.covis_idx[k] = np.where(sel, order, -1)
+        self.covis_w[k] = np.where(sel, weights[order], 0)
+        # symmetric insert into partners (keep their top-C)
+        for j in order[sel]:
+            w = counts[j]
+            row_i, row_w = self.covis_idx[j], self.covis_w[j]
+            if k in row_i:
+                continue
+            slot = int(np.argmin(row_w))
+            if row_w[slot] < w:
+                row_i[slot] = k
+                row_w[slot] = w
+
+    # --- local BA -------------------------------------------------------
+
+    def _local_ba(self):
+        if self.n_kf < 2:
+            return
+        k_new = self.n_kf - 1
+        free_ids = np.arange(max(0, self.n_kf - self.BA_FREE), self.n_kf)
+        # fixed support: covisible partners of free keyframes
+        partners = set()
+        for k in free_ids:
+            partners.update(j for j in self.covis_idx[k] if j >= 0)
+        fixed_ids = np.array(sorted(partners - set(free_ids.tolist())), np.int32)
+        fixed_ids = fixed_ids[-(self.BA_CAMS - len(free_ids)):]
+        cams = np.concatenate([fixed_ids, free_ids]).astype(np.int32)
+        local_of = {int(g): i for i, g in enumerate(cams)}
+        Kl = self.BA_CAMS
+
+        # points observed by free keyframes
+        in_free = np.isin(self.pt_obs_kf, free_ids) & (self.pt_obs_kf >= 0)
+        pt_sel = np.nonzero(self.pt_valid & in_free.any(axis=1))[0]
+        if len(pt_sel) > self.BA_PTS:
+            pt_sel = pt_sel[np.argsort(-self.pt_obs_n[pt_sel])[: self.BA_PTS]]
+        Pl = self.BA_PTS
+
+        obs_kf = np.full((Pl, self.BA_OBS), -1, np.int32)
+        obs_uv = np.zeros((Pl, self.BA_OBS, 2), np.float32)
+        obs_w = np.zeros((Pl, self.BA_OBS), np.float32)
+        for i, p in enumerate(pt_sel):
+            o_out = 0
+            for o in range(self.pt_obs_n[p]):
+                g = self.pt_obs_kf[p, o]
+                if g not in local_of or o_out >= self.BA_OBS:
+                    continue
+                kp = self.pt_obs_kp[p, o]
+                obs_kf[i, o_out] = local_of[g]
+                obs_uv[i, o_out] = self.kf_kp_uv[g, kp]
+                lvl = self.kf_kp_level[g, kp]
+                obs_w[i, o_out] = 1.0 / (1.2 ** (2.0 * lvl))
+                o_out += 1
+
+        pose_l = np.tile(np.eye(4, dtype=np.float32), (Kl, 1, 1))
+        pose_l[: len(cams)] = self.kf_pose[cams]
+        xyz_l = np.zeros((Pl, 3), np.float32)
+        xyz_l[: len(pt_sel)] = self.pt_xyz[pt_sel]
+        cam_fixed = np.ones(Kl, bool)
+        for i, g in enumerate(cams):
+            cam_fixed[i] = g in fixed_ids or g == 0
+        pt_valid_l = np.zeros(Pl, bool)
+        pt_valid_l[: len(pt_sel)] = True
+
+        prob = BAProblem(
+            kf_pose=jnp.asarray(pose_l), pt_xyz=jnp.asarray(xyz_l),
+            obs_kf=jnp.asarray(obs_kf), obs_uv=jnp.asarray(obs_uv),
+            obs_w=jnp.asarray(obs_w), cam_fixed=jnp.asarray(cam_fixed),
+            pt_valid=jnp.asarray(pt_valid_l))
+        res = bundle_adjust(self.intr, prob, iters=6, trim_rounds=2)
+        new_pose = np.asarray(res.kf_pose)
+        new_xyz = np.asarray(res.pt_xyz)
+        for i, g in enumerate(cams):
+            if not cam_fixed[i]:
+                self.kf_pose[g] = new_pose[i]
+        self.pt_xyz[pt_sel] = new_xyz[: len(pt_sel)]
+        # current pose rides along with the newest keyframe
+        self.Tcw = self.kf_pose[k_new].copy()
+
+    # --- point culling (ORB-SLAM2 MapPointCulling semantics) -------------
+
+    def _cull_points(self):
+        k_now = self.n_kf - 1
+        age = k_now - self.pt_first_kf
+        # a point must gather >= 2 keyframe observations within 3 keyframes
+        weak = self.pt_valid & (age >= 3) & (self.pt_obs_n < 2)
+        self.pt_valid[weak] = False
+
+    # ------------------------------------------------------------------
+    # exporters (reference format parity)
+    # ------------------------------------------------------------------
+
+    def to_map_arrays(self) -> MapArrays:
+        m = MapArrays.empty(self.cfg.map)
+        return dataclasses.replace(
+            m,
+            kf_pose=jnp.asarray(self.kf_pose),
+            kf_valid=jnp.asarray(self.kf_valid),
+            kf_frame_id=jnp.asarray(self.kf_frame_id, jnp.int32),
+            kf_kp_uv=jnp.asarray(self.kf_kp_uv),
+            kf_kp_level=jnp.asarray(self.kf_kp_level),
+            kf_kp_valid=jnp.asarray(self.kf_kp_valid),
+            kf_desc=jnp.asarray(self.kf_desc),
+            kf_kp_depth=jnp.asarray(self.kf_kp_depth),
+            pt_xyz=jnp.asarray(self.pt_xyz),
+            pt_valid=jnp.asarray(self.pt_valid),
+            pt_desc=jnp.asarray(self.pt_desc),
+            pt_obs_kf=jnp.asarray(self.pt_obs_kf),
+            pt_obs_kp=jnp.asarray(self.pt_obs_kp),
+            pt_obs_n=jnp.asarray(self.pt_obs_n),
+            covis_idx=jnp.asarray(self.covis_idx),
+            covis_w=jnp.asarray(self.covis_w),
+            kf_parent=jnp.asarray(self.kf_parent),
+            loop_edges=jnp.asarray(self.loop_edges),
+            n_kf=jnp.asarray(self.n_kf, jnp.int32),
+            n_pt=jnp.asarray(self.n_pt, jnp.int32),
+        )
+
+    def save_map(self, path: str):
+        mapio.write_bundle(path, self.to_map_arrays())
+
+    def save_coords(self, path: str):
+        mapio.write_coords(path, self.to_map_arrays(),
+                           self.cfg.camera.fx, self.cfg.camera.cx,
+                           self.cfg.camera.cy)
+
+    def save_camera_graph(self, path: str):
+        mapio.write_camera_graph(path, self.to_map_arrays())
+
+    def save_frame_ids(self, path: str):
+        mapio.write_frame_ids(path, self.to_map_arrays())
+
+    def save_trajectory_tum(self, path: str):
+        times = np.array([t for t, _ in self.trajectory])
+        poses = np.stack([np.asarray(se3_inverse(jnp.asarray(T)))
+                          for _, T in self.trajectory])
+        mapio.write_trajectory_tum(path, times, poses)
+
+    def save_trajectory_kitti(self, path: str):
+        poses = np.stack([np.asarray(se3_inverse(jnp.asarray(T)))
+                          for _, T in self.trajectory])
+        mapio.write_trajectory_kitti(path, poses)
