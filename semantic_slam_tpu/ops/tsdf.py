@@ -1,0 +1,207 @@
+"""TSDF volume fusion on TPU.
+
+Replaces the reference's per-object CUDA TSDF (``src/tsdf.cu`` GpuIntegrate,
+adapted from Andy Zeng's tsdf-fusion) and the colored python path
+(``src/TSDFfusion.py.in``). Semantics preserved exactly (oracle-tested):
+
+  - volume of ``dim³`` voxels, size ``voxel_size`` (ref: 200³ x 4 mm,
+    ``include/tsdf.hpp:63-67``), anchored at ``origin`` in the *base* frame
+    (first observing keyframe, ``src/Object.cpp:22-27``);
+  - per frame: voxel center -> base -> camera (via cam2base⁻¹ applied as
+    Rᵀ(p - t), ``tsdf.cu:31-37``), nearest-pixel projection, depth test
+    (reject d <= 0 or d > 6 m, ``tsdf.cu:46``), sdf = depth − z, skip if
+    sdf <= −trunc, dist = min(1, sdf/trunc), running weighted average with
+    weight += 1 (``tsdf.cu:49-58``).
+
+TPU formulation: instead of the CUDA thread-per-voxel-column loop, the voxel
+lattice is three broadcast iotas; the base->camera transform is separable
+rank-1 arithmetic (no [D³, 3] coordinate tensor is ever materialized); the
+depth lookup is one XLA gather from the [H, W] image; the update is a fused
+elementwise pass over the volume. Everything is one jitted donate-safe
+program, and vmaps over a batch of per-object volumes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from semantic_slam_tpu.config import TsdfConfig
+from semantic_slam_tpu.geometry.camera import Intrinsics
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TsdfVolume:
+    tsdf: jnp.ndarray        # [D, D, D] f32, init 1.0 (z-major: [z, y, x])
+    weight: jnp.ndarray      # [D, D, D] f32, init 0
+    origin: jnp.ndarray      # [3] base-frame coords of voxel (0,0,0)
+    base2world: jnp.ndarray  # [4, 4] pose of the base (anchor) frame
+
+    @staticmethod
+    def create(origin, base2world, dim: int = 200, dtype=jnp.float32) -> "TsdfVolume":
+        return TsdfVolume(
+            tsdf=jnp.ones((dim, dim, dim), dtype),
+            weight=jnp.zeros((dim, dim, dim), dtype),
+            origin=jnp.asarray(origin, dtype),
+            base2world=jnp.asarray(base2world, dtype),
+        )
+
+
+def origin_from_depth(depth: jnp.ndarray, intr: Intrinsics) -> jnp.ndarray:
+    """Per-axis minimum of the masked-depth backprojection (the reference's
+    TSDF origin rule, ``src/Object.cpp:37-49``). Zero depths are ignored."""
+    H, W = depth.shape
+    xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    z = depth
+    valid = z > 0
+    x = (xs - intr.cx) * z / intr.fx
+    y = (ys - intr.cy) * z / intr.fy
+    big = jnp.float32(1000.0)
+    ox = jnp.min(jnp.where(valid, x, big))
+    oy = jnp.min(jnp.where(valid, y, big))
+    oz = jnp.min(jnp.where(valid, z, big))
+    return jnp.stack([ox, oy, oz])
+
+
+@functools.partial(jax.jit, donate_argnums=(0,),
+                   static_argnames=("voxel_size", "trunc_margin", "max_depth"))
+def tsdf_integrate(
+    vol: TsdfVolume,
+    depth: jnp.ndarray,         # [H, W] metric depth (0 = invalid)
+    cam2world: jnp.ndarray,     # [4, 4] camera pose (Twc)
+    intr: Intrinsics,
+    *,
+    voxel_size: float = 0.004,
+    trunc_margin: float = 0.02,
+    max_depth: float = 6.0,
+) -> TsdfVolume:
+    """Integrate one depth frame into the volume (GpuIntegrate semantics)."""
+    D = vol.tsdf.shape[0]
+    H, W = depth.shape
+    cam2base = jnp.linalg.inv(vol.base2world) @ cam2world
+    R = cam2base[:3, :3]
+    t = cam2base[:3, 3]
+
+    # voxel centers in base frame, separable per axis: [D] each
+    ax = vol.origin[0] + jnp.arange(D, dtype=vol.tsdf.dtype) * voxel_size  # x
+    ay = vol.origin[1] + jnp.arange(D, dtype=vol.tsdf.dtype) * voxel_size  # y
+    az = vol.origin[2] + jnp.arange(D, dtype=vol.tsdf.dtype) * voxel_size  # z
+    # p_cam = R^T (p_base - t)  (tsdf.cu:31-37 applies cam2base transposed)
+    # Build the three camera coords as rank-1 sums over (z, y, x) axes.
+    bx, by, bz = ax - t[0], ay - t[1], az - t[2]
+
+    def cam_coord(col):
+        # R^T row `col` dotted with (bx, by, bz); broadcast to [D, D, D]
+        return (R[0, col] * bx[None, None, :]
+                + R[1, col] * by[None, :, None]
+                + R[2, col] * bz[:, None, None])
+
+    pcx = cam_coord(0)
+    pcy = cam_coord(1)
+    pcz = cam_coord(2)
+
+    zsafe = jnp.where(pcz > 1e-6, pcz, 1.0)
+    u = jnp.round(intr.fx * (pcx / zsafe) + intr.cx).astype(jnp.int32)
+    v = jnp.round(intr.fy * (pcy / zsafe) + intr.cy).astype(jnp.int32)
+    in_img = (pcz > 0) & (u >= 0) & (u < W) & (v >= 0) & (v < H)
+    ui = jnp.clip(u, 0, W - 1)
+    vi = jnp.clip(v, 0, H - 1)
+    depth_val = depth[vi, ui]                                  # gather
+
+    sdf = depth_val - pcz
+    ok = (in_img & (depth_val > 0) & (depth_val <= max_depth)
+          & (sdf > -trunc_margin))
+    dist = jnp.minimum(1.0, sdf / trunc_margin)
+    w_old = vol.weight
+    w_new = w_old + 1.0
+    tsdf_new = (vol.tsdf * w_old + dist) / w_new
+    return TsdfVolume(
+        tsdf=jnp.where(ok, tsdf_new, vol.tsdf),
+        weight=jnp.where(ok, w_new, vol.weight),
+        origin=vol.origin,
+        base2world=vol.base2world,
+    )
+
+
+def tsdf_integrate_batch(vols: TsdfVolume, depths: jnp.ndarray,
+                         cam2world: jnp.ndarray, intr: Intrinsics,
+                         **kw) -> TsdfVolume:
+    """vmap over a batch of per-object volumes ([B, ...] leading dims on vols
+    and depths; one shared camera pose). Replaces the reference's sequential
+    per-object Integrate calls with one batched device program."""
+    fn = lambda v, d: tsdf_integrate(v, d, cam2world, intr, **kw)
+    return jax.vmap(fn)(vols, depths)
+
+
+@functools.partial(jax.jit, static_argnames=("max_points", "voxel_size"))
+def tsdf_surface_points(vol: TsdfVolume, *, tsdf_thresh: float = 0.2,
+                        weight_thresh: float = 0.9,
+                        max_points: int = 262144,
+                        voxel_size: float = 0.004):
+    """Extract surface voxel centers (|tsdf| < thresh, weight > thresh) in
+    world coordinates — the reference's .ply export rule
+    (``tsdf.cu:170-218`` SaveVoxelGrid2SurfacePointCloud).
+
+    Returns (points [max_points, 3] world coords, valid [max_points]).
+    Static-size output via top-k on the surface indicator.
+    """
+    D = vol.tsdf.shape[0]
+    surf = (jnp.abs(vol.tsdf) < tsdf_thresh) & (vol.weight > weight_thresh)
+    flat = surf.reshape(-1)
+    # stable selection of up to max_points surface voxels
+    score = flat.astype(jnp.float32)
+    k = min(max_points, flat.shape[0])
+    _, idx = jax.lax.top_k(score, k)
+    valid = flat[idx]
+    iz = idx // (D * D)
+    iy = (idx // D) % D
+    ix = idx % D
+    voxel = (vol.origin[None, :] +
+             jnp.stack([ix, iy, iz], -1).astype(vol.tsdf.dtype) * voxel_size)
+    # base -> world
+    R = vol.base2world[:3, :3]
+    t = vol.base2world[:3, 3]
+    pts = voxel @ R.T + t
+    if k < max_points:
+        pts = jnp.pad(pts, ((0, max_points - k), (0, 0)))
+        valid = jnp.pad(valid, (0, max_points - k))
+    return pts, valid
+
+
+def tsdf_integrate_reference(tsdf, weight, origin, base2world, depth, cam2world,
+                             K, voxel_size, trunc_margin, max_depth=6.0):
+    """NumPy oracle with the exact per-voxel loop semantics of tsdf.cu
+    (vectorized over voxels but following the same arithmetic order)."""
+    D = tsdf.shape[0]
+    cam2base = (np.linalg.inv(base2world) @ cam2world).astype(np.float32)
+    zz, yy, xx = np.mgrid[0:D, 0:D, 0:D]
+    px = (origin[0] + xx * voxel_size).astype(np.float32)
+    py = (origin[1] + yy * voxel_size).astype(np.float32)
+    pz = (origin[2] + zz * voxel_size).astype(np.float32)
+    tmp = np.stack([px - cam2base[0, 3], py - cam2base[1, 3],
+                    pz - cam2base[2, 3]], 0)
+    pcx = cam2base[0, 0] * tmp[0] + cam2base[1, 0] * tmp[1] + cam2base[2, 0] * tmp[2]
+    pcy = cam2base[0, 1] * tmp[0] + cam2base[1, 1] * tmp[1] + cam2base[2, 1] * tmp[2]
+    pcz = cam2base[0, 2] * tmp[0] + cam2base[1, 2] * tmp[1] + cam2base[2, 2] * tmp[2]
+    H, W = depth.shape
+    with np.errstate(divide="ignore", invalid="ignore"):
+        u = np.round(K[0, 0] * pcx / pcz + K[0, 2]).astype(np.int64)
+        v = np.round(K[1, 1] * pcy / pcz + K[1, 2]).astype(np.int64)
+    ok = (pcz > 0) & (u >= 0) & (u < W) & (v >= 0) & (v < H)
+    d = np.zeros_like(pcz)
+    d[ok] = depth[v[ok], u[ok]]
+    diff = d - pcz
+    ok &= (d > 0) & (d <= max_depth) & (diff > -trunc_margin)
+    dist = np.minimum(1.0, diff / trunc_margin)
+    w_new = weight + 1.0
+    upd = (tsdf * weight + dist) / w_new
+    tsdf_out = np.where(ok, upd, tsdf)
+    weight_out = np.where(ok, w_new, weight)
+    return tsdf_out.astype(np.float32), weight_out.astype(np.float32)
