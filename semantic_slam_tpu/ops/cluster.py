@@ -1,0 +1,103 @@
+"""Euclidean clustering of organized point clouds as grid label propagation.
+
+Replaces PCL ``EuclideanClusterExtraction`` over a kd-tree (reference
+``src/DoN.cpp:254-264``: tolerance = DoN.segradius, min 15 / max 1e6 points).
+TPU formulation: two pixels are connected when both pass the filter mask and
+their 3-D distance is within tolerance; connected components are found by
+iterative min-label flooding over the 4-neighborhood (a ``lax.while_loop`` of
+pooled min operations) — dense, static-shape, compiler-friendly. For an
+organized cloud this matches kd-tree clustering except for components joined
+only through non-adjacent pixels (which, at tolerances ≈5 cm, correspond to
+surfaces separated by depth discontinuities the reference would also split).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+BIG = jnp.int32(2 ** 30)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters",))
+def connected_components(pts: jnp.ndarray, mask: jnp.ndarray,
+                         tolerance: float, *, max_iters: int = 256) -> jnp.ndarray:
+    """[H, W, 3] points + [H, W] bool mask -> [H, W] int32 labels (-1 outside).
+
+    Labels are the flat index of each component's smallest-index pixel.
+    """
+    H, W = mask.shape
+    idx = (jax.lax.broadcasted_iota(jnp.int32, (H, W), 0) * W
+           + jax.lax.broadcasted_iota(jnp.int32, (H, W), 1))
+    labels = jnp.where(mask, idx, BIG)
+
+    tol2 = tolerance * tolerance
+
+    def _shift2(arr, dy, dx, fill):
+        out = jnp.full_like(arr, fill)
+        src = arr[max(0, -dy): H - max(0, dy), max(0, -dx): W - max(0, dx)]
+        start = (max(0, dy), max(0, dx)) + (0,) * (arr.ndim - 2)
+        return jax.lax.dynamic_update_slice(out, src, start)
+
+    # neighbor connectivity (4-neighborhood), precomputed once
+    conn = []
+    for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+        np_mask = _shift2(mask, dy, dx, False)
+        np_pts = _shift2(pts, dy, dx, 0.0)
+        d2 = jnp.sum((pts - np_pts) ** 2, axis=-1)
+        conn.append(mask & np_mask & (d2 <= tol2))
+    conn = jnp.stack(conn)          # [4, H, W]
+
+    def body(state):
+        labels, changed = state
+        new = labels
+        for a, (dy, dx) in enumerate(((1, 0), (-1, 0), (0, 1), (0, -1))):
+            nb = _shift2(labels, dy, dx, BIG)
+            new = jnp.where(conn[a], jnp.minimum(new, nb), new)
+        # pointer jumping: a label is a pixel index, so chase it once per
+        # sweep — path compression makes convergence O(log diameter).
+        flat = new.reshape(-1)
+        safe = jnp.clip(new, 0, H * W - 1)
+        hop = jnp.where(new < BIG, flat[safe.reshape(-1)].reshape(H, W), new)
+        new = jnp.minimum(new, hop)
+        return new, jnp.any(new != labels)
+
+    labels, _ = jax.lax.while_loop(lambda s: s[1], body,
+                                   (labels, jnp.asarray(True)))
+    return jnp.where(mask, labels, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("max_clusters",))
+def compact_labels(labels: jnp.ndarray, *, min_size: int = 15,
+                   max_size: int = 1000000, max_clusters: int = 64):
+    """Relabel components to [0, max_clusters) by size with size gates.
+
+    Returns (cluster_id [H, W] int32 in [-1, max_clusters), sizes
+    [max_clusters], n_clusters []). Components outside [min_size, max_size]
+    or beyond capacity become -1. Implemented with sorting tricks (no host
+    dicts): histogram root labels via one-hot on sorted unique roots.
+    """
+    H, W = labels.shape
+    flat = labels.reshape(-1)
+    valid = flat >= 0
+    # exact per-root histogram: root labels ARE pixel indices, so one
+    # scatter-add over an [H*W] table counts every component.
+    safe = jnp.where(valid, flat, 0)
+    sizes_by_root = jnp.zeros(H * W, jnp.int32).at[safe].add(
+        valid.astype(jnp.int32))
+    ok = (sizes_by_root >= min_size) & (sizes_by_root <= max_size)
+    score = jnp.where(ok, sizes_by_root, 0)
+    top_sizes, top_roots = jax.lax.top_k(score, max_clusters)
+    live = top_sizes > 0
+    n_clusters = jnp.sum(live)
+
+    # root -> compact id lookup table
+    lut = jnp.full(H * W, -1, jnp.int32)
+    # dead entries scatter out-of-range and are dropped
+    lut = lut.at[jnp.where(live, top_roots, H * W)].set(
+        jnp.arange(max_clusters, dtype=jnp.int32), mode="drop")
+    cid = jnp.where(valid, lut[safe], -1)
+    return cid.reshape(H, W).astype(jnp.int32), top_sizes, n_clusters

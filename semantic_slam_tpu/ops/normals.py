@@ -1,0 +1,170 @@
+"""Organized-cloud surface normals + Difference of Normals on TPU.
+
+Replaces PCL's ``NormalEstimationOMP`` + ``DifferenceOfNormalsEstimation``
+(reference ``src/DoN.cpp:166-213``). The reference does kd-tree radius
+searches per point; the TPU formulation exploits that the cloud is *organized*
+(a depth image): a metric search radius at depth z subtends ~``f·r/z`` pixels,
+so per-pixel covariance over the neighborhood is four taps into integral
+images (summed-area tables) of the point moments, with a per-pixel window
+size — O(1) per pixel, fully vectorized, no neighbor lists.
+
+Normal = eigenvector of the smallest eigenvalue of the windowed covariance
+(computed closed-form for 3x3 symmetric), sign-flipped toward the viewpoint
+at +∞ (PCL ``setViewPoint(FLT_MAX,...)``, which reduces to flipping when
+nx+ny+nz < 0 — reference ``src/DoN.cpp:176-179``).
+
+DoN field = (n_small − n_large)/2; its magnitude is stored as "curvature"
+in PCL and thresholded by ``DoN.threshold`` (``src/DoN.cpp:226-239``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from semantic_slam_tpu.geometry.camera import Intrinsics
+
+
+def backproject_organized(depth: jnp.ndarray, intr: Intrinsics,
+                          sensor: int = 2) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """[H, W] depth/range image -> ([H, W, 3] points, [H, W] valid)."""
+    H, W = depth.shape
+    xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    x = (xs - intr.cx) / intr.fx
+    y = (ys - intr.cy) / intr.fy
+    if sensor == 1:
+        rim = jnp.sqrt(x * x + y * y + 1.0)
+        d = depth / rim
+    else:
+        d = depth
+    valid = depth > 0
+    pts = jnp.stack([x * d, y * d, d], axis=-1)
+    return jnp.where(valid[..., None], pts, 0.0), valid
+
+
+def _integral(img: jnp.ndarray) -> jnp.ndarray:
+    """2-D inclusive summed-area table with a zero row/col prepended."""
+    s = jnp.cumsum(jnp.cumsum(img, axis=0), axis=1)
+    return jnp.pad(s, ((1, 0), (1, 0)) + ((0, 0),) * (img.ndim - 2))
+
+
+def _box_sum(sat: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
+    """Window sums with per-pixel radius r [H, W] via 4 gathers into the SAT.
+
+    sat is [H+1, W+1, C]; returns [H, W, C] sums over the clipped
+    (2r+1)x(2r+1) window centered at each pixel.
+    """
+    H = sat.shape[0] - 1
+    W = sat.shape[1] - 1
+    yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    y0 = jnp.clip(yy - r, 0, H)
+    y1 = jnp.clip(yy + r + 1, 0, H)
+    x0 = jnp.clip(xx - r, 0, W)
+    x1 = jnp.clip(xx + r + 1, 0, W)
+    return (sat[y1, x1] - sat[y0, x1] - sat[y1, x0] + sat[y0, x0])
+
+
+def _smallest_eigvec_3x3(C: jnp.ndarray) -> jnp.ndarray:
+    """Eigenvector of the smallest eigenvalue of symmetric 3x3 [..., 3, 3].
+
+    Closed-form: eigenvalues via the trigonometric method, eigenvector via
+    cross products of (C - λI) rows (most orthogonal pair). Fully batched.
+    """
+    # eigenvalues (Smith's method)
+    q = jnp.trace(C, axis1=-2, axis2=-1) / 3.0
+    Ci = C - q[..., None, None] * jnp.eye(3, dtype=C.dtype)
+    p2 = jnp.sum(Ci * Ci, axis=(-2, -1)) / 6.0
+    p = jnp.sqrt(jnp.maximum(p2, 1e-20))
+    detB = jnp.linalg.det(Ci / p[..., None, None])
+    r = jnp.clip(detB / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    eig1 = q + 2.0 * p * jnp.cos(phi)                     # largest
+    eig3 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3)  # smallest
+    eig2 = 3.0 * q - eig1 - eig3
+
+    # eigenvector for eig3: null space of (C - eig3 I) ~ cross of two rows
+    A = C - eig3[..., None, None] * jnp.eye(3, dtype=C.dtype)
+    r0, r1, r2 = A[..., 0, :], A[..., 1, :], A[..., 2, :]
+    c01 = jnp.cross(r0, r1)
+    c02 = jnp.cross(r0, r2)
+    c12 = jnp.cross(r1, r2)
+    n01 = jnp.sum(c01 * c01, -1)
+    n02 = jnp.sum(c02 * c02, -1)
+    n12 = jnp.sum(c12 * c12, -1)
+    best = jnp.argmax(jnp.stack([n01, n02, n12], -1), axis=-1)
+    v = jnp.take_along_axis(
+        jnp.stack([c01, c02, c12], axis=-2),
+        best[..., None, None].astype(jnp.int32), axis=-2)[..., 0, :]
+    nrm = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    v = v / jnp.maximum(nrm, 1e-12)
+    # degenerate (isotropic) fallback
+    v = jnp.where(nrm > 1e-10, v, jnp.array([0.0, 0.0, 1.0], C.dtype))
+    return v
+
+
+@functools.partial(jax.jit, static_argnames=("max_radius_px", "min_count"))
+def organized_normals(pts: jnp.ndarray, valid: jnp.ndarray,
+                      radius_m: float | jnp.ndarray, fx: jnp.ndarray,
+                      *, max_radius_px: int = 24, min_count: int = 6):
+    """Per-pixel normals over a metric radius via integral-image covariance.
+
+    Returns (normals [H, W, 3], ok [H, W]). Window radius in pixels is
+    fx * radius_m / z clamped to [1, max_radius_px].
+    """
+    H, W, _ = pts.shape
+    z = pts[..., 2]
+    r_px = jnp.where(valid, fx * radius_m / jnp.maximum(z, 1e-3), 1.0)
+    r = jnp.clip(r_px.astype(jnp.int32), 1, max_radius_px)
+
+    v = valid.astype(pts.dtype)
+    first = pts * v[..., None]                              # x, y, z
+    x, y, zz = first[..., 0], first[..., 1], first[..., 2]
+    second = jnp.stack([x * x, x * y, x * zz, y * y, y * zz, zz * zz], -1)
+    stacked = jnp.concatenate([first, second, v[..., None]], axis=-1)  # [H,W,10]
+    sums = _box_sum(_integral(stacked), r)                  # [H, W, 10]
+
+    n = sums[..., 9]
+    mean = sums[..., 0:3] / jnp.maximum(n[..., None], 1.0)
+    # covariance = E[pp^T] - mean mean^T
+    exx, exy, exz = sums[..., 3], sums[..., 4], sums[..., 5]
+    eyy, eyz, ezz = sums[..., 6], sums[..., 7], sums[..., 8]
+    ns = jnp.maximum(n, 1.0)
+    mx, my, mz = mean[..., 0], mean[..., 1], mean[..., 2]
+    cxx = exx / ns - mx * mx
+    cxy = exy / ns - mx * my
+    cxz = exz / ns - mx * mz
+    cyy = eyy / ns - my * my
+    cyz = eyz / ns - my * mz
+    czz = ezz / ns - mz * mz
+    C = jnp.stack([
+        jnp.stack([cxx, cxy, cxz], -1),
+        jnp.stack([cxy, cyy, cyz], -1),
+        jnp.stack([cxz, cyz, czz], -1)], -2)                # [H, W, 3, 3]
+
+    normal = _smallest_eigvec_3x3(C)
+    # viewpoint at +infinity: flip so nx+ny+nz >= 0
+    flip = jnp.sum(normal, axis=-1, keepdims=True) < 0
+    normal = jnp.where(flip, -normal, normal)
+    ok = valid & (n >= min_count)
+    return jnp.where(ok[..., None], normal, 0.0), ok
+
+
+@functools.partial(jax.jit, static_argnames=("max_radius_px",))
+def don_field(pts: jnp.ndarray, valid: jnp.ndarray, fx: jnp.ndarray,
+              scale1: float, scale2: float, *, max_radius_px: int = 32):
+    """DoN = (n_small - n_large)/2 and its magnitude.
+
+    Returns (don [H, W, 3], mag [H, W], ok [H, W])."""
+    n_s, ok_s = organized_normals(pts, valid, scale1, fx,
+                                  max_radius_px=max_radius_px)
+    n_l, ok_l = organized_normals(pts, valid, scale2, fx,
+                                  max_radius_px=max_radius_px)
+    don = 0.5 * (n_s - n_l)
+    ok = ok_s & ok_l
+    mag = jnp.where(ok, jnp.linalg.norm(don, axis=-1), 0.0)
+    return don, mag, ok

@@ -1,0 +1,116 @@
+"""Instance-segmentation detector interface.
+
+The reference's detection contract (``src/MaskRCNN.py.in`` + the C++ bridge
+``src/MaskRCNN.cpp``): per image, score-sorted {boxes, masks, labels,
+scores ≥ 0.8} over the 81 COCO categories. Implementations:
+
+  - ``MaskRCNNDetector`` — the Flax Mask R-CNN in models/ (TPU inference).
+  - ``OracleDetector`` — ground-truth masks from synthetic instance renders
+    (the test/benchmark substrate; no dataset or weights needed).
+
+All return padded static-shape arrays with a validity mask.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+
+class Detections(NamedTuple):
+    boxes: np.ndarray    # [M, 4] (x, y, w, h) float32
+    masks: np.ndarray    # [M, H, W] bool
+    labels: np.ndarray   # [M] int32 COCO category id
+    scores: np.ndarray   # [M] float32
+    valid: np.ndarray    # [M] bool
+
+
+def pad_detections(boxes, masks, labels, scores, max_masks: int) -> Detections:
+    M = len(labels)
+    H, W = masks.shape[1:] if M > 0 else (0, 0)
+    order = np.argsort(-np.asarray(scores)) if M else np.array([], int)
+    boxes, masks = np.asarray(boxes)[order], np.asarray(masks)[order]
+    labels, scores = np.asarray(labels)[order], np.asarray(scores)[order]
+    m = min(M, max_masks)
+    out_boxes = np.zeros((max_masks, 4), np.float32)
+    out_masks = np.zeros((max_masks,) + tuple(masks.shape[1:]), bool)
+    out_labels = np.zeros(max_masks, np.int32)
+    out_scores = np.zeros(max_masks, np.float32)
+    out_valid = np.zeros(max_masks, bool)
+    out_boxes[:m] = boxes[:m]
+    out_masks[:m] = masks[:m]
+    out_labels[:m] = labels[:m]
+    out_scores[:m] = scores[:m]
+    out_valid[:m] = True
+    return Detections(out_boxes, out_masks, out_labels, out_scores, out_valid)
+
+
+class OracleDetector:
+    """Detections from a synthetic instance-id render (io/synth.BoxScene)."""
+
+    def __init__(self, scene, cam, max_masks: int = 16, score: float = 0.9):
+        self.scene = scene
+        self.cam = cam
+        self.max_masks = max_masks
+        self.score = score
+
+    def predict(self, Twc: np.ndarray) -> Detections:
+        from semantic_slam_tpu.io import synth
+
+        _, inst = synth.render_depth(self.scene, Twc, self.cam)
+        boxes, masks, labels, scores = [], [], [], []
+        for b in range(len(self.scene.boxes)):
+            m = inst == b
+            if m.sum() < 4:
+                continue
+            ys, xs = np.nonzero(m)
+            boxes.append([xs.min(), ys.min(), xs.max() - xs.min() + 1,
+                          ys.max() - ys.min() + 1])
+            masks.append(m)
+            labels.append(int(self.scene.labels[b]))
+            scores.append(self.score)
+        if not masks:
+            H, W = inst.shape
+            return pad_detections(np.zeros((0, 4)), np.zeros((0, H, W), bool),
+                                  np.zeros(0, int), np.zeros(0), self.max_masks)
+        return pad_detections(boxes, np.stack(masks), labels, scores,
+                              self.max_masks)
+
+
+class MaskRCNNDetector:
+    """Flax Mask R-CNN inference wrapper (models/maskrcnn.py).
+
+    Output contract parity with the reference bridge: score threshold 0.8,
+    score-sorted, COCO-81 ids."""
+
+    def __init__(self, model=None, params=None, max_masks: int = 16,
+                 score_threshold: float = 0.8, rng_seed: int = 0):
+        import jax
+
+        from semantic_slam_tpu.models.maskrcnn import MaskRCNN, init_params
+
+        self.model = model or MaskRCNN()
+        if params is None:
+            params = init_params(self.model, jax.random.PRNGKey(rng_seed))
+        self.params = params
+        self.max_masks = max_masks
+        self.score_threshold = score_threshold
+        self._infer = None
+
+    def predict(self, rgb: np.ndarray) -> Detections:
+        import jax
+        import jax.numpy as jnp
+
+        from semantic_slam_tpu.models.maskrcnn import run_inference
+
+        H, W = rgb.shape[:2]
+        out = run_inference(self.model, self.params, jnp.asarray(rgb),
+                            max_detections=self.max_masks)
+        boxes = np.asarray(out["boxes"])
+        masks = np.asarray(out["masks"]) > 0.5
+        labels = np.asarray(out["labels"])
+        scores = np.asarray(out["scores"])
+        keep = scores >= self.score_threshold
+        return pad_detections(boxes[keep], masks[keep], labels[keep],
+                              scores[keep], self.max_masks)

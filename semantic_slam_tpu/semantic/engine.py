@@ -1,0 +1,185 @@
+"""Semantic engine: the per-keyframe object-labeling loop.
+
+Replaces the reference ``Engine`` (``src/Engine.cpp:105-294`` Run): per
+keyframe — DoN geometric clusters, instance detections, then per detection
+mask: area gate → track-or-create object (point-projection matching) →
+fg/bg probability updates → DoN∧mask fusion → point densification →
+inventory insert-or-delete. The per-mask loop stays sequential on the host
+(an object created by mask i is trackable by mask i+1, as in the reference);
+every step inside it is a jitted batched kernel over the whole object bank.
+
+Timing stats per stage mirror the reference's step1..step6 averages
+(``Engine.cpp:153-290``).
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from semantic_slam_tpu.config import SlamConfig
+from semantic_slam_tpu.geometry.camera import Intrinsics
+from semantic_slam_tpu.ops.maskops import erode, mask_area, hu_moments
+from semantic_slam_tpu.semantic import objects as O
+from semantic_slam_tpu.semantic.don import DoN
+from semantic_slam_tpu.semantic.detector import Detections
+from semantic_slam_tpu.semantic.inventory import Inventory
+
+
+class Engine:
+    """Per-keyframe semantic labeling engine."""
+
+    def __init__(self, categories: Dict[int, str], cfg: SlamConfig,
+                 detector=None, viewer=None):
+        self.cfg = cfg
+        self.categories = categories
+        self.intr = Intrinsics.from_config(cfg.camera)
+        self.detector = detector
+        self.don = DoN(cfg.don, self.intr, sensor=cfg.engine.sensor)
+        self.inventory = Inventory(cfg)
+        self.viewer = viewer
+        e = cfg.engine
+        self.bank = O.ObjectBank.empty(e.max_objects, e.max_points_per_object)
+        self._erode_r = max(1, int(math.ceil(e.dist)))
+        self._res_r = int(math.ceil(e.res))
+        self.timing: Dict[str, List[float]] = {
+            k: [] for k in ("don", "detect", "track", "create", "densify",
+                            "insert")}
+
+    # ------------------------------------------------------------------
+
+    def run(self, rgb: Optional[np.ndarray], depth: np.ndarray, kf_id: int,
+            Tcw: np.ndarray, detections: Optional[Detections] = None):
+        """Process one keyframe (Engine::Run parity).
+
+        detections may be given directly (stage-2 drivers with an oracle or a
+        precomputed model pass); otherwise self.detector.predict(rgb) runs.
+        """
+        e = self.cfg.engine
+        depth_j = jnp.asarray(depth, jnp.float32)
+        Tcw_j = jnp.asarray(Tcw, jnp.float32)
+
+        t0 = time.perf_counter()
+        don_res = self.don.extract(depth_j)
+        n_clusters = int(don_res.n_clusters)
+        self.timing["don"].append(time.perf_counter() - t0)
+
+        t0 = time.perf_counter()
+        if detections is None:
+            detections = self.detector.predict(rgb)
+        self.timing["detect"].append(time.perf_counter() - t0)
+
+        n_masks = int(detections.valid.sum())
+        if n_masks == 0 or n_clusters == 0:
+            # Engine.cpp:145-148 warning path
+            return
+        self.inventory.add_keyframe(kf_id, Tcw)
+
+        C = self.cfg.don.max_clusters
+        for i in range(n_masks):
+            mask = jnp.asarray(detections.masks[i])
+            area = float(mask_area(mask))
+            if area < e.min_area or area > e.max_area:
+                continue
+            label = int(detections.labels[i])
+            score = float(detections.scores[i])
+            mask_er = erode(mask, self._erode_r)
+
+            # 2. track existing objects by point projection
+            t0 = time.perf_counter()
+            gates = O.project_gates(
+                self.bank, Tcw_j, depth_j, self.intr,
+                jnp.float32(e.prob_thd), jnp.float32(e.min_depth),
+                jnp.float32(e.max_depth),
+                width=self.cfg.camera.width, height=self.cfg.camera.height)
+            counts = O.count_mask_inliers(
+                gates, mask_er, width=self.cfg.camera.width,
+                height=self.cfg.camera.height)
+            oidx = int(O.match_decision(
+                self.bank, counts, jnp.int32(label), jnp.float32(score),
+                jnp.int32(e.min_point_count), jnp.float32(e.score_margin)))
+            self.timing["track"].append(time.perf_counter() - t0)
+
+            # 3. create new object or update probabilities of the matched one
+            t0 = time.perf_counter()
+            is_new = oidx < 0
+            if is_new:
+                oidx = self._alloc_slot()
+                if oidx < 0:
+                    continue     # bank full
+                color = jnp.asarray(
+                    np.random.RandomState(oidx + 7).uniform(0.2, 1.0, 3),
+                    jnp.float32)
+                self.bank = O.init_object(self.bank, jnp.int32(oidx),
+                                          jnp.int32(label), jnp.float32(score),
+                                          color)
+            else:
+                self.bank = O.update_probabilities(
+                    self.bank, jnp.int32(oidx), gates, mask_er,
+                    jnp.float32(score), width=self.cfg.camera.width,
+                    height=self.cfg.camera.height)
+            self.timing["create"].append(time.perf_counter() - t0)
+
+            # 4. fuse DoN clusters with the mask, densify the object
+            t0 = time.perf_counter()
+            fused = O.fuse_segments(don_res.cluster_id, C, mask_er,
+                                    jnp.float32(e.overlap))
+            self.bank = O.add_segment(
+                self.bank, jnp.int32(oidx), fused, depth_j, Tcw_j, self.intr,
+                jnp.float32(score), gates, jnp.float32(e.min_depth),
+                jnp.float32(e.max_depth), sensor=e.sensor,
+                res_radius=self._res_r, max_new=1024)
+            self.timing["densify"].append(time.perf_counter() - t0)
+
+            # 5. inventory insert-or-delete (HasEnoughObjectPoints rule)
+            t0 = time.perf_counter()
+            n_pts = int(self.bank.pt_n[oidx])
+            if n_pts > e.min_point_count:
+                self.inventory.observe(
+                    oidx, kf_id, label, score,
+                    bbox=detections.boxes[i],
+                    hu=np.asarray(hu_moments(mask)))
+            elif is_new:
+                self.bank = O.release_object(self.bank, jnp.int32(oidx))
+            self.timing["insert"].append(time.perf_counter() - t0)
+
+        if self.viewer is not None:
+            self.viewer.update(self.bank, Tcw)
+
+    def _alloc_slot(self) -> int:
+        free = np.nonzero(~np.asarray(self.bank.obj_valid))[0]
+        return int(free[0]) if len(free) else -1
+
+    # ------------------------------------------------------------------
+
+    def objects_summary(self) -> List[dict]:
+        """Host-side view of the bank for drivers/tests."""
+        bank = self.bank
+        prob = np.asarray(O.point_prob(bank))
+        out = []
+        for o in np.nonzero(np.asarray(bank.obj_valid))[0]:
+            n = int(bank.pt_n[o])
+            out.append(dict(
+                slot=int(o),
+                label=int(bank.obj_label[o]),
+                name=self.categories.get(int(bank.obj_label[o]), "?"),
+                score=float(bank.obj_score[o]),
+                n_points=n,
+                n_good=int((prob[o] >= self.cfg.engine.prob_thd)
+                           [np.asarray(bank.pt_valid[o])].sum()),
+                observations=self.inventory.observations_of(int(o)),
+            ))
+        return out
+
+    def save_objects(self, out_dir: str):
+        self.inventory.save_objects(self.bank, self.categories,
+                                    self.cfg.engine.prob_thd, out_dir)
+
+    def timing_report(self) -> Dict[str, float]:
+        return {k: (sum(v) / len(v) if v else 0.0)
+                for k, v in self.timing.items()}

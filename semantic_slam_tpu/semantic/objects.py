@@ -1,0 +1,288 @@
+"""Object bank: the semantic world model as fixed-capacity SoA arrays.
+
+Replaces the reference's ``Inventory ▸ Object ▸ ObjectPoint`` pointer web
+(``src/Inventory.cpp``, ``src/Object.cpp``, ``src/ObjectPoint.cpp``) with one
+pytree: B object slots × P point slots, every per-point rule a masked batched
+op over the whole bank at once. Per-point state mirrors ObjectPoint exactly:
+world position + foreground/background evidence accumulators
+(``mnFp += score`` on mask agreement, ``mnBp += score`` on disagreement,
+probability ``Fp/(Fp+Bp)``, bad ⇔ prob < threshold —
+``src/ObjectPoint.cpp:190-219, 149-154``).
+
+Kernel semantics preserved from the reference (with f32/raster equivalents):
+
+  - projection/gating per point (``Engine.cpp:356-496`` TrackObjectPoints):
+    world→cam, pixel = int-floor (cv::Point cast), in-image margin 5, z>0,
+    1/range ∈ [1/maxDepth, 1/minDepth], the occlusion test *as written*
+    (``p_m < 1/maxD && p_m > 1/minD && dp > 0.25`` — note: unsatisfiable for
+    the reference configs, a preserved quirk), in-mask = eroded-mask lookup
+    (pointPolygonTest dist > mnDist).
+  - match rule c1 ∧ (c3 ∨ c4): inliers > MinPointCount ∧ (same label ∨
+    object score > 1.1×det score); first object in creation order wins
+    (``Engine.cpp:437-443``).
+  - inlier counting uses only confidently-labeled points (isBad filter);
+    the probability update loop intentionally does NOT filter
+    (``Engine.cpp:380`` vs ``:448-483``).
+  - densification (``Object.cpp:684-758`` AddSegment): per fused-segment
+    pixel: depth gate, spacing gate vs existing projected points (occupancy
+    dilation ≙ kd-tree nearest < mnRes; mnRes=0 in the reference configs ⇒
+    no-op), undistort, backproject (RGBD d=range; lidar d=range/√(x²+y²+1)),
+    world transform, fg=score.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from semantic_slam_tpu.config import EngineConfig
+from semantic_slam_tpu.geometry.camera import Intrinsics, undistort_points
+from semantic_slam_tpu.ops.maskops import dilate
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ObjectBank:
+    obj_valid: jnp.ndarray    # [B] bool
+    obj_label: jnp.ndarray    # [B] i32 category id
+    obj_score: jnp.ndarray    # [B] f32 detection score
+    obj_color: jnp.ndarray    # [B, 3] f32 display color
+    obj_created: jnp.ndarray  # [B] i32 creation sequence (for first-match order)
+    pt_xyz: jnp.ndarray       # [B, P, 3] world positions
+    pt_valid: jnp.ndarray     # [B, P] bool
+    pt_fg: jnp.ndarray        # [B, P] f32 foreground evidence
+    pt_bg: jnp.ndarray        # [B, P] f32 background evidence
+    pt_n: jnp.ndarray         # [B] i32 allocated points per object
+    n_created: jnp.ndarray    # [] i32 total objects ever created
+
+    @staticmethod
+    def empty(max_objects: int, max_points: int, dtype=jnp.float32) -> "ObjectBank":
+        B, P = max_objects, max_points
+        return ObjectBank(
+            obj_valid=jnp.zeros(B, bool),
+            obj_label=jnp.full(B, -1, jnp.int32),
+            obj_score=jnp.zeros(B, dtype),
+            obj_color=jnp.zeros((B, 3), dtype),
+            obj_created=jnp.full(B, 2 ** 30, jnp.int32),
+            pt_xyz=jnp.zeros((B, P, 3), dtype),
+            pt_valid=jnp.zeros((B, P), bool),
+            pt_fg=jnp.zeros((B, P), dtype),
+            pt_bg=jnp.zeros((B, P), dtype),
+            pt_n=jnp.zeros(B, jnp.int32),
+            n_created=jnp.asarray(0, jnp.int32),
+        )
+
+
+def point_prob(bank: ObjectBank) -> jnp.ndarray:
+    """fg/(fg+bg) per point ([B, P]); 0 where no evidence."""
+    s = bank.pt_fg + bank.pt_bg
+    return jnp.where(s > 0, bank.pt_fg / jnp.maximum(s, 1e-12), 0.0)
+
+
+class ProjGates(NamedTuple):
+    uv_i: jnp.ndarray     # [B, P, 2] int32 pixel (floor, cv::Point cast)
+    gate: jnp.ndarray     # [B, P] passes frustum/range/occlusion gates
+    good: jnp.ndarray     # [B, P] gate & not isBad (prob >= threshold)
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height"))
+def project_gates(bank: ObjectBank, Tcw: jnp.ndarray, depth: jnp.ndarray,
+                  intr: Intrinsics, prob_thd: jnp.ndarray,
+                  min_depth: jnp.ndarray, max_depth: jnp.ndarray,
+                  width: int = 640, height: int = 480) -> ProjGates:
+    R = Tcw[:3, :3]
+    t = Tcw[:3, 3]
+    pc = jnp.einsum("ij,bpj->bpi", R, bank.pt_xyz) + t
+    rng = jnp.linalg.norm(pc, axis=-1)
+    z = pc[..., 2]
+    zs = jnp.where(jnp.abs(z) > 1e-9, z, 1e-9)
+    u = intr.fx * pc[..., 0] / zs + intr.cx
+    v = intr.fy * pc[..., 1] / zs + intr.cy
+    ui = jnp.floor(u).astype(jnp.int32)
+    vi = jnp.floor(v).astype(jnp.int32)
+    in_img = ((u > 5) & (u < width - 5) & (v > 5) & (v < height - 5) & (z > 0))
+    p_hat = 1.0 / jnp.maximum(rng, 1e-9)
+    range_ok = (p_hat <= 1.0 / min_depth) & (p_hat >= 1.0 / max_depth)
+    # occlusion test exactly as written in the reference (Engine.cpp:396-399)
+    d_m = depth[jnp.clip(vi, 0, height - 1), jnp.clip(ui, 0, width - 1)]
+    p_m = 1.0 / jnp.maximum(d_m, 1e-9)
+    dp = jnp.sign(p_hat - p_m)
+    occluded = (p_m < 1.0 / max_depth) & (p_m > 1.0 / min_depth) & (dp > 0.25)
+    gate = bank.pt_valid & in_img & range_ok & ~occluded
+    good = gate & (point_prob(bank) >= prob_thd)
+    return ProjGates(uv_i=jnp.stack([ui, vi], -1), gate=gate, good=good)
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height"))
+def count_mask_inliers(gates: ProjGates, mask_eroded: jnp.ndarray,
+                       width: int = 640, height: int = 480) -> jnp.ndarray:
+    """Per-object count of confidently-labeled points inside the (eroded)
+    detection mask — the c1 statistic (Engine.cpp:406-411)."""
+    ui = jnp.clip(gates.uv_i[..., 0], 0, width - 1)
+    vi = jnp.clip(gates.uv_i[..., 1], 0, height - 1)
+    in_mask = mask_eroded[vi, ui]
+    return jnp.sum(gates.good & in_mask, axis=-1).astype(jnp.int32)
+
+
+@jax.jit
+def match_decision(bank: ObjectBank, counts: jnp.ndarray, det_label: jnp.ndarray,
+                   det_score: jnp.ndarray, min_point_count: jnp.ndarray,
+                   score_margin: jnp.ndarray) -> jnp.ndarray:
+    """Return the matched object slot (first in creation order) or -1.
+
+    c1 ∧ (c3 ∨ c4) rule, Engine.cpp:437-443."""
+    c1 = counts > min_point_count
+    c3 = bank.obj_label == det_label
+    c4 = bank.obj_score > score_margin * det_score
+    match = bank.obj_valid & c1 & (c3 | c4)
+    order = jnp.where(match, bank.obj_created, 2 ** 30)
+    best = jnp.argmin(order)
+    return jnp.where(jnp.any(match), best, -1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height"))
+def update_probabilities(bank: ObjectBank, oidx: jnp.ndarray,
+                         gates: ProjGates, mask_eroded: jnp.ndarray,
+                         score: jnp.ndarray,
+                         width: int = 640, height: int = 480) -> ObjectBank:
+    """fg/bg evidence update for the matched object's points
+    (Engine.cpp:448-483: all gated points, no isBad filter)."""
+    ui = jnp.clip(gates.uv_i[..., 0], 0, width - 1)
+    vi = jnp.clip(gates.uv_i[..., 1], 0, height - 1)
+    in_mask = mask_eroded[vi, ui]
+    is_obj = (jnp.arange(bank.pt_fg.shape[0]) == oidx)[:, None]
+    upd = is_obj & gates.gate
+    fg = bank.pt_fg + jnp.where(upd & in_mask, score, 0.0)
+    bg = bank.pt_bg + jnp.where(upd & ~in_mask, score, 0.0)
+    return dataclasses.replace(bank, pt_fg=fg, pt_bg=bg)
+
+
+@jax.jit
+def init_object(bank: ObjectBank, oidx: jnp.ndarray, label: jnp.ndarray,
+                score: jnp.ndarray, color: jnp.ndarray) -> ObjectBank:
+    """Allocate slot oidx for a new object (Object ctor + SetLabel/UpdateScore)."""
+    B = bank.obj_valid.shape[0]
+    onehot = jnp.arange(B) == oidx
+    return dataclasses.replace(
+        bank,
+        obj_valid=jnp.where(onehot, True, bank.obj_valid),
+        obj_label=jnp.where(onehot, label, bank.obj_label),
+        obj_score=jnp.where(onehot, score, bank.obj_score),
+        obj_color=jnp.where(onehot[:, None], color, bank.obj_color),
+        obj_created=jnp.where(onehot, bank.n_created, bank.obj_created),
+        pt_valid=jnp.where(onehot[:, None], False, bank.pt_valid),
+        pt_fg=jnp.where(onehot[:, None], 0.0, bank.pt_fg),
+        pt_bg=jnp.where(onehot[:, None], 0.0, bank.pt_bg),
+        pt_n=jnp.where(onehot, 0, bank.pt_n),
+        n_created=bank.n_created + 1,
+    )
+
+
+@jax.jit
+def release_object(bank: ObjectBank, oidx: jnp.ndarray) -> ObjectBank:
+    """Free a slot (the delete-if-not-enough-points path, Engine.cpp:247-250)."""
+    B = bank.obj_valid.shape[0]
+    onehot = jnp.arange(B) == oidx
+    return dataclasses.replace(
+        bank,
+        obj_valid=jnp.where(onehot, False, bank.obj_valid),
+        pt_valid=jnp.where(onehot[:, None], False, bank.pt_valid),
+        pt_n=jnp.where(onehot, 0, bank.pt_n),
+    )
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("sensor", "res_radius", "max_new"))
+def add_segment(bank: ObjectBank, oidx: jnp.ndarray, segment: jnp.ndarray,
+                depth: jnp.ndarray, Tcw: jnp.ndarray, intr: Intrinsics,
+                score: jnp.ndarray, gates: ProjGates,
+                min_depth: jnp.ndarray, max_depth: jnp.ndarray,
+                *, sensor: int = 2, res_radius: int = 0,
+                max_new: int = 2048) -> ObjectBank:
+    """Densify object oidx from the fused segment pixels (AddSegment).
+
+    segment: [H, W] bool — fused DoN∧mask pixel set.
+    gates:   projections of the object's *existing* points (for the spacing
+             exclusion, Get2dFeatures + kd-tree check).
+    """
+    H, W = depth.shape
+    B, P = bank.pt_valid.shape
+
+    cand = segment & (depth > min_depth) & (depth < max_depth)
+
+    if res_radius > 0:
+        # occupancy of existing projected points of this object
+        is_obj = (jnp.arange(B) == oidx)[:, None]
+        occ_pts = gates.gate & is_obj
+        ui = jnp.clip(gates.uv_i[..., 0], 0, W - 1)
+        vi = jnp.clip(gates.uv_i[..., 1], 0, H - 1)
+        occ = jnp.zeros((H, W), bool).at[vi.reshape(-1), ui.reshape(-1)].max(
+            occ_pts.reshape(-1))
+        cand = cand & ~dilate(occ, res_radius)
+
+    # deterministic pseudo-random subset of up to max_new candidate pixels
+    flat = cand.reshape(-1)
+    idx = jnp.arange(H * W, dtype=jnp.uint32)
+    prio = jnp.where(flat, (idx * jnp.uint32(2654435761)) >> 12, jnp.uint32(0))
+    # ensure chosen pixels have prio > 0
+    prio = jnp.where(flat, prio | jnp.uint32(1), jnp.uint32(0))
+    k = min(max_new, H * W)
+    topv, topi = jax.lax.top_k(prio.astype(jnp.float32), k)
+    chosen = topv > 0
+    py = (topi // W).astype(jnp.float32)
+    px = (topi % W).astype(jnp.float32)
+    uv = jnp.stack([px, py], -1)
+    uv_und = undistort_points(intr, uv)
+    rngv = depth.reshape(-1)[topi]
+    x = (uv_und[:, 0] - intr.cx) / intr.fx
+    y = (uv_und[:, 1] - intr.cy) / intr.fy
+    if sensor == 1:
+        d = rngv / jnp.sqrt(x * x + y * y + 1.0)
+    else:
+        d = rngv
+    pc = jnp.stack([d * x, d * y, d], -1)
+    Rcw = Tcw[:3, :3]
+    tcw = Tcw[:3, 3]
+    pw = jnp.einsum("ji,nj->ni", Rcw, pc - tcw)   # world = Rcwᵀ (pc - t)
+
+    # write into slots pt_n[oidx] ... pt_n[oidx]+m  (capacity-clamped)
+    base = bank.pt_n[oidx]
+    pos = jnp.cumsum(chosen.astype(jnp.int32)) - 1
+    slot = base + pos
+    ok = chosen & (slot < P)
+    slot_c = jnp.clip(slot, 0, P - 1)
+    brow = jnp.full((k,), 0, jnp.int32) + oidx
+
+    pt_xyz = bank.pt_xyz.at[brow, slot_c].set(
+        jnp.where(ok[:, None], pw, bank.pt_xyz[brow, slot_c]))
+    pt_valid = bank.pt_valid.at[brow, slot_c].max(ok)
+    pt_fg = bank.pt_fg.at[brow, slot_c].set(
+        jnp.where(ok, score, bank.pt_fg[brow, slot_c]))
+    pt_bg = bank.pt_bg.at[brow, slot_c].set(
+        jnp.where(ok, 0.0, bank.pt_bg[brow, slot_c]))
+    n_new = jnp.sum(ok).astype(jnp.int32)
+    pt_n = bank.pt_n.at[oidx].set(jnp.minimum(base + n_new, P))
+    return dataclasses.replace(bank, pt_xyz=pt_xyz, pt_valid=pt_valid,
+                               pt_fg=pt_fg, pt_bg=pt_bg, pt_n=pt_n)
+
+
+@functools.partial(jax.jit, static_argnames=("n_clusters_cap",))
+def fuse_segments(cluster_id: jnp.ndarray, n_clusters_cap: int,
+                  mask_eroded: jnp.ndarray, overlap_thd: jnp.ndarray) -> jnp.ndarray:
+    """DoN-cluster ∧ mask fusion (Engine.cpp:300-338 fuse_segments).
+
+    cluster_id: [H, W] int32 in [-1, C); for each cluster, keep its inside-
+    mask pixels iff |inside| / |cluster| > overlap threshold. Returns the
+    union [H, W] bool."""
+    C = n_clusters_cap
+    onehot = jax.nn.one_hot(cluster_id, C, dtype=jnp.float32)      # [H, W, C]
+    total = jnp.sum(onehot, axis=(0, 1))                           # [C]
+    inside = jnp.sum(onehot * mask_eroded[..., None], axis=(0, 1)) # [C]
+    overlap = inside / jnp.maximum(total, 1.0)
+    keep = overlap > overlap_thd                                   # [C]
+    keep_px = jnp.einsum("hwc,c->hw", onehot, keep.astype(jnp.float32)) > 0
+    return keep_px & mask_eroded
