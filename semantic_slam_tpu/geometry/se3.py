@@ -57,10 +57,15 @@ def so3_exp(phi: jnp.ndarray) -> jnp.ndarray:
 
 
 def so3_log(R: jnp.ndarray) -> jnp.ndarray:
-    """[..., 3, 3] rotation matrix -> [..., 3] rotation vector."""
+    """[..., 3, 3] rotation matrix -> [..., 3] rotation vector.
+
+    AD-safe: the arccos/sin expressions have infinite derivatives at the
+    identity, and `where` does not stop NaN gradients from the untaken
+    branch — so the unstable branch is evaluated on *sanitized* inputs
+    (double-where trick) and the near-identity branch uses the smooth
+    series θ² ≈ 2(1−cosθ)."""
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
     w = jnp.stack(
         [
             R[..., 2, 1] - R[..., 1, 2],
@@ -69,14 +74,22 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
         ],
         axis=-1,
     )
-    sin_t = jnp.sin(theta)
-    # Near theta=0: w/2. Near theta=pi: fall back to diagonal extraction.
-    scale = jnp.where(sin_t > 1e-5, theta / jnp.maximum(2.0 * sin_t, _EPS), 0.5 + theta * theta / 12.0)
+    stable = cos_t < 1.0 - 1e-7
+    cos_safe = jnp.where(stable, cos_t, 0.0)          # sanitize for arccos grad
+    theta_main = jnp.arccos(cos_safe)
+    sin_main = jnp.sqrt(jnp.maximum(1.0 - cos_safe * cos_safe, 1e-12))
+    scale_main = theta_main / (2.0 * sin_main)
+    theta2_taylor = 2.0 * (1.0 - cos_t)               # smooth near identity
+    scale_taylor = 0.5 + theta2_taylor / 12.0
+    scale = jnp.where(stable, scale_main, scale_taylor)
+    theta = jnp.where(stable, theta_main, jnp.sqrt(jnp.maximum(theta2_taylor, 0.0)))
     phi = w * scale[..., None]
-    # theta ~ pi branch: |w| vanishes; use sqrt of diagonal.
+    # theta ~ pi branch: |w| vanishes; use sqrt of diagonal. Sanitize the
+    # sqrt input for the untaken-branch gradient (sqrt'(0) = inf).
     near_pi = theta > 3.0
     diag = jnp.stack([R[..., 0, 0], R[..., 1, 1], R[..., 2, 2]], axis=-1)
     axis2 = jnp.maximum((diag - cos_t[..., None]) / jnp.maximum(1.0 - cos_t[..., None], _EPS), 0.0)
+    axis2 = jnp.where(near_pi[..., None], axis2, 1.0)
     axis = jnp.sqrt(axis2)
     # fix signs from off-diagonal sums
     sx = jnp.where(w[..., 0] >= 0, 1.0, -1.0)

@@ -1,20 +1,28 @@
 """ORB descriptors: image pyramid, intensity-centroid orientation, rotated
-BRIEF — batched JAX, no per-keypoint host loops.
+BRIEF — formulated as MXU matmuls, no per-keypoint host loops.
 
-Replaces ORB-SLAM2's ``ORBextractor`` descriptor stage. Design notes:
+Replaces ORB-SLAM2's ``ORBextractor`` descriptor stage. TPU design:
 
-  - The orientation moments (m10, m01 over a radius-15 circular patch) are
-    computed for the *whole image* with two 31x31 convolutions (XLA convs run
-    on the MXU), then gathered at keypoint locations — cheaper on TPU than
-    per-keypoint patch extraction.
-  - The BRIEF sampling pattern is a deterministic seeded Gaussian pattern
-    (σ = patch/5, 256 pairs). We intentionally do NOT reuse OpenCV's learned
-    table: descriptors never cross the framework boundary (matching, BoW and
-    map storage are all internal), so only internal consistency matters.
-  - Descriptors are produced in two layouts: packed uint8[32] (map storage
-    parity with the reference's 32-byte ORB rows) and signed int8[256] bit
-    planes whose dot product turns Hamming distance into an MXU matmul
-    (see ops/match.py).
+  - Patch extraction: keypoints sit at integer pixels (FAST corners), so the
+    31x31 patch of every keypoint is one row-gather ([N, 31, W] contiguous
+    rows — fast on TPU) followed by one lane gather of 31 columns.
+  - Orientation: the intensity-centroid moments (m10, m01 over the circular
+    patch) are two matvecs of the flattened patches against constant weight
+    vectors.
+  - Steered BRIEF: the keypoint angle is quantized to ``N_BINS`` bins; for
+    each bin the bilinear sampling of all 512 rotated test locations is a
+    constant sparse-in-theory matrix [512, 961], applied DENSE: one
+    [N, 961] x [961, N_BINS*512] matmul computes every keypoint's samples at
+    every orientation on the MXU, then one take-along picks each keypoint's
+    bin. ~15 GMAC for 1000 keypoints — noise for the MXU, and it replaces
+    ~500k scalar gathers that dominate a gather-based formulation.
+  - The BRIEF pattern is a deterministic seeded Gaussian pattern: descriptors
+    never cross the framework boundary, so only internal consistency matters
+    (intentionally not OpenCV's learned table).
+
+Descriptors are produced in two layouts: packed uint8[32] (map storage parity
+with the reference's 32-byte ORB rows) and ±1 int8[256] bit planes whose dot
+product turns Hamming distance into an MXU matmul (see ops/match.py).
 """
 
 from __future__ import annotations
@@ -29,6 +37,7 @@ import numpy as np
 PATCH = 31
 HALF_PATCH = 15
 N_PAIRS = 256
+N_BINS = 30          # orientation quantization (ORB uses 12° steps)
 
 
 def _make_pattern(seed: int = 1234) -> np.ndarray:
@@ -42,47 +51,57 @@ def _make_pattern(seed: int = 1234) -> np.ndarray:
 BRIEF_PATTERN = _make_pattern()
 
 
-def _orientation_kernels() -> Tuple[np.ndarray, np.ndarray]:
+def _orientation_weights() -> Tuple[np.ndarray, np.ndarray]:
     ys, xs = np.mgrid[-HALF_PATCH:HALF_PATCH + 1, -HALF_PATCH:HALF_PATCH + 1]
     circ = (xs ** 2 + ys ** 2) <= HALF_PATCH ** 2
-    kx = (xs * circ).astype(np.float32)
-    ky = (ys * circ).astype(np.float32)
-    return kx, ky
+    return ((xs * circ).astype(np.float32).reshape(-1),
+            (ys * circ).astype(np.float32).reshape(-1))
 
 
-_KX, _KY = _orientation_kernels()
+_WX, _WY = _orientation_weights()
 
 
-def orientation_map(img: jnp.ndarray) -> jnp.ndarray:
-    """[H, W] -> [H, W] patch orientation (radians) at every pixel.
+def _sampling_matrix() -> np.ndarray:
+    """[N_BINS * 512, PATCH*PATCH] bilinear sampling weights.
 
-    θ = atan2(m01, m10), intensity centroid over the radius-15 circular patch
-    (IC method used by ORB). Two MXU convolutions.
-    """
-    x = img.astype(jnp.float32)[None, :, :, None]
-    k = jnp.stack([jnp.asarray(_KX), jnp.asarray(_KY)], axis=-1)[:, :, None, :]
-    m = jax.lax.conv_general_dilated(
-        x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    m10 = m[0, :, :, 0]
-    m01 = m[0, :, :, 1]
-    return jnp.arctan2(m01, m10)
+    Row (b*512 + k) samples rotated test point k (k<256 -> point 1 of pair k,
+    else point 2 of pair k-256) at bin angle b, bilinearly from the flattened
+    31x31 patch."""
+    pts = np.concatenate([BRIEF_PATTERN[:, 0:2], BRIEF_PATTERN[:, 2:4]], 0)  # [512, 2]
+    W = np.zeros((N_BINS * 2 * N_PAIRS, PATCH * PATCH), np.float32)
+    for b in range(N_BINS):
+        th = 2.0 * np.pi * b / N_BINS
+        c, s = np.cos(th), np.sin(th)
+        rx = c * pts[:, 0] - s * pts[:, 1] + HALF_PATCH
+        ry = s * pts[:, 0] + c * pts[:, 1] + HALF_PATCH
+        x0 = np.clip(np.floor(rx).astype(int), 0, PATCH - 2)
+        y0 = np.clip(np.floor(ry).astype(int), 0, PATCH - 2)
+        fx = np.clip(rx - x0, 0.0, 1.0)
+        fy = np.clip(ry - y0, 0.0, 1.0)
+        for k in range(2 * N_PAIRS):
+            r = b * 2 * N_PAIRS + k
+            base = y0[k] * PATCH + x0[k]
+            W[r, base] += (1 - fx[k]) * (1 - fy[k])
+            W[r, base + 1] += fx[k] * (1 - fy[k])
+            W[r, base + PATCH] += (1 - fx[k]) * fy[k]
+            W[r, base + PATCH + 1] += fx[k] * fy[k]
+    return W
 
 
-def _bilinear(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
-    """Bilinear sample of [H, W] image at float coords (clamped)."""
+_SAMPLING_W = _sampling_matrix()          # [N_BINS*512, 961]
+
+
+def extract_patches(img: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
+    """[H, W] image + [N, 2] integer keypoint coords -> [N, 961] patches."""
     H, W = img.shape
-    x = jnp.clip(x, 0.0, W - 1.001)
-    y = jnp.clip(y, 0.0, H - 1.001)
-    x0 = jnp.floor(x).astype(jnp.int32)
-    y0 = jnp.floor(y).astype(jnp.int32)
-    fx = x - x0
-    fy = y - y0
-    v00 = img[y0, x0]
-    v01 = img[y0, x0 + 1]
-    v10 = img[y0 + 1, x0]
-    v11 = img[y0 + 1, x0 + 1]
-    return (v00 * (1 - fx) * (1 - fy) + v01 * fx * (1 - fy)
-            + v10 * (1 - fx) * fy + v11 * fx * fy)
+    xi = jnp.clip(uv[:, 0].astype(jnp.int32), HALF_PATCH, W - HALF_PATCH - 1)
+    yi = jnp.clip(uv[:, 1].astype(jnp.int32), HALF_PATCH, H - HALF_PATCH - 1)
+    offs = jnp.arange(-HALF_PATCH, HALF_PATCH + 1)
+    rows = img[yi[:, None] + offs[None, :]]                  # [N, 31, W]
+    cols = xi[:, None, None] + offs[None, None, :]           # [N, 1, 31]
+    patches = jnp.take_along_axis(
+        rows, jnp.broadcast_to(cols, (uv.shape[0], PATCH, PATCH)), axis=2)
+    return patches.reshape(uv.shape[0], PATCH * PATCH)
 
 
 @jax.jit
@@ -95,24 +114,25 @@ def compute_descriptors(img: jnp.ndarray, uv: jnp.ndarray, valid: jnp.ndarray):
     """
     img = img.astype(jnp.float32)
     N = uv.shape[0]
-    theta_map = orientation_map(img)
-    xi = jnp.clip(uv[:, 0].astype(jnp.int32), 0, img.shape[1] - 1)
-    yi = jnp.clip(uv[:, 1].astype(jnp.int32), 0, img.shape[0] - 1)
-    angle = theta_map[yi, xi]                                    # [N]
+    patches = extract_patches(img, uv)                       # [N, 961]
 
-    c = jnp.cos(angle)[:, None]
-    s = jnp.sin(angle)[:, None]
-    pat = jnp.asarray(BRIEF_PATTERN)                             # [256, 4]
-    x1, y1, x2, y2 = pat[:, 0][None], pat[:, 1][None], pat[:, 2][None], pat[:, 3][None]
-    # rotate pattern by keypoint angle (steered BRIEF)
-    rx1 = c * x1 - s * y1 + uv[:, 0:1]
-    ry1 = s * x1 + c * y1 + uv[:, 1:2]
-    rx2 = c * x2 - s * y2 + uv[:, 0:1]
-    ry2 = s * x2 + c * y2 + uv[:, 1:2]
-    t1 = _bilinear(img, rx1, ry1)                                # [N, 256]
-    t2 = _bilinear(img, rx2, ry2)
-    bits = (t1 < t2)                                             # [N, 256] bool
-    bits = bits & valid[:, None]
+    # orientation: two matvecs (intensity centroid over the circular patch)
+    m10 = patches @ jnp.asarray(_WX)
+    m01 = patches @ jnp.asarray(_WY)
+    angle = jnp.arctan2(m01, m10)
+    bin_f = jnp.mod(angle, 2.0 * jnp.pi) / (2.0 * jnp.pi) * N_BINS
+    bin_i = jnp.clip(jnp.round(bin_f).astype(jnp.int32) % N_BINS, 0, N_BINS - 1)
+
+    # all-bin sampling on the MXU, then per-keypoint bin selection
+    S = jax.lax.dot_general(
+        patches, jnp.asarray(_SAMPLING_W),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # [N, N_BINS*512]
+    S = S.reshape(N, N_BINS, 2 * N_PAIRS)
+    samples = jnp.take_along_axis(S, bin_i[:, None, None], axis=1)[:, 0]
+    t1 = samples[:, :N_PAIRS]
+    t2 = samples[:, N_PAIRS:]
+    bits = (t1 < t2) & valid[:, None]
 
     # packed uint8[32]
     b = bits.reshape(N, 32, 8).astype(jnp.uint8)
@@ -126,7 +146,7 @@ def compute_descriptors(img: jnp.ndarray, uv: jnp.ndarray, valid: jnp.ndarray):
 def unpack_to_pm1(desc_u8: jnp.ndarray) -> jnp.ndarray:
     """uint8[..., 32] -> int8[..., 256] in {-1, +1} (for matching stored maps)."""
     weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint8)
-    bits = (desc_u8[..., :, None] & weights) > 0                 # [..., 32, 8]
+    bits = (desc_u8[..., :, None] & weights) > 0             # [..., 32, 8]
     return jnp.where(bits, 1, -1).astype(jnp.int8).reshape(
         desc_u8.shape[:-1] + (N_PAIRS,))
 
@@ -142,7 +162,7 @@ class PyramidLevel(NamedTuple):
 
 
 def build_pyramid(img: jnp.ndarray, n_levels: int, scale_factor: float) -> List[PyramidLevel]:
-    """Gaussian-free area-resize pyramid (XLA resize), static per-level shapes."""
+    """Bilinear-resize pyramid (XLA resize), static per-level shapes."""
     H, W = img.shape
     out = [PyramidLevel(img.astype(jnp.float32), 1.0)]
     for lvl in range(1, n_levels):
@@ -174,8 +194,11 @@ def level_budgets(n_features: int, n_levels: int, scale_factor: float) -> List[i
     return budgets
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def extract_orb(img: jnp.ndarray, cfg) -> Features:
-    """Full multi-scale ORB extraction. cfg is an OrbConfig."""
+    """Full multi-scale ORB extraction as ONE jitted program.
+
+    cfg is an OrbConfig (frozen dataclass => hashable static argument)."""
     from semantic_slam_tpu.ops.fast import detect_fast_grid
 
     levels = build_pyramid(img, cfg.n_levels, cfg.scale_factor)
