@@ -345,3 +345,75 @@ def write_trajectory_kitti(path: str, poses_twc: np.ndarray) -> None:
         for T in poses_twc:
             row = T[:3, :4].reshape(-1)
             f.write(" ".join(f"{v:.9e}" for v in row) + "\n")
+
+
+def write_map_points(path: str, m: MapArrays) -> None:
+    """Plain xyz rows of all valid map points (System.cc:857-879
+    SaveMapPoints parity)."""
+    xyz = np.asarray(m.pt_xyz)[np.asarray(m.pt_valid)]
+    with open(path, "w") as f:
+        for p in xyz:
+            f.write(f"{p[0]:.6f} {p[1]:.6f} {p[2]:.6f}\n")
+
+
+def write_covisibility_graph(path: str, m: MapArrays) -> None:
+    """Symmetric unweighted covisibility lists: ``id n ids...`` per keyframe
+    (System.cc:1015-1052 SaveCovisibilityGraph parity)."""
+    kf_valid = np.asarray(m.kf_valid)
+    covis_idx = np.asarray(m.covis_idx)
+    kf_ids = np.nonzero(kf_valid)[0]
+    new_id = {int(s): i for i, s in enumerate(kf_ids)}
+    with open(path, "w") as f:
+        for s in kf_ids:
+            neigh = [new_id[int(j)] for j in covis_idx[s]
+                     if j >= 0 and int(j) in new_id]
+            if neigh:
+                f.write(f"{new_id[int(s)]} {len(neigh)} "
+                        + " ".join(str(j) for j in neigh) + " \n")
+
+
+def write_pmvs(out_dir: str, m: MapArrays, K: np.ndarray,
+               image_names: Optional[List[str]] = None) -> None:
+    """PMVS2 export layout (System.cc:534-719 WritePMVS parity): per-keyframe
+    ``txt/%08d.txt`` projection matrices P = K [R|t], ``models/option-0000``
+    config, ``vis.dat`` covisibility, plus dir stubs for images."""
+    os.makedirs(os.path.join(out_dir, "txt"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "visualize"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "models"), exist_ok=True)
+    kf_valid = np.asarray(m.kf_valid)
+    pose = np.asarray(m.kf_pose)
+    kf_ids = np.nonzero(kf_valid)[0]
+    for i, s in enumerate(kf_ids):
+        P = K @ pose[s][:3, :4]
+        with open(os.path.join(out_dir, "txt", f"{i:08d}.txt"), "w") as f:
+            f.write("CONTOUR\n")
+            for r in range(3):
+                f.write(f"{P[r,0]:.8g} {P[r,1]:.8g} {P[r,2]:.8g} {P[r,3]:.8g}\n")
+    covis_idx = np.asarray(m.covis_idx)
+    new_id = {int(s): i for i, s in enumerate(kf_ids)}
+    with open(os.path.join(out_dir, "vis.dat"), "w") as f:
+        f.write("VISDATA\n")
+        f.write(f"{len(kf_ids)}\n")
+        for s in kf_ids:
+            neigh = [new_id[int(j)] for j in covis_idx[s]
+                     if j >= 0 and int(j) in new_id]
+            f.write(f"{new_id[int(s)]} {len(neigh)} "
+                    + " ".join(str(j) for j in neigh) + "\n")
+    with open(os.path.join(out_dir, "models", "option-0000"), "w") as f:
+        f.write("timages -1 0 {}\noimages 0\nlevel 1\n".format(len(kf_ids)))
+
+
+def write_rgbd_dump(out_dir: str, m: MapArrays, K: np.ndarray,
+                    cam_cfg=None) -> None:
+    """Keyframe pose/intrinsics dump (System.cc:725-851 WriteRGBD parity:
+    per-keyframe camera files; image copying is the dataset's job)."""
+    os.makedirs(out_dir, exist_ok=True)
+    kf_valid = np.asarray(m.kf_valid)
+    pose = np.asarray(m.kf_pose)
+    fid = np.asarray(m.kf_frame_id)
+    with open(os.path.join(out_dir, "cameras.txt"), "w") as f:
+        f.write(f"{K[0,0]:.6f} {K[1,1]:.6f} {K[0,2]:.6f} {K[1,2]:.6f}\n")
+        for i, s in enumerate(np.nonzero(kf_valid)[0]):
+            T = pose[s]
+            vals = " ".join(f"{v:.7f}" for v in T[:3, :4].reshape(-1))
+            f.write(f"{i} {int(fid[s])} {vals}\n")

@@ -332,6 +332,61 @@ def tsdf_integrate_blocked(
                       origin=vol.origin, base2world=vol.base2world)
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1),
+                   static_argnames=("voxel_size", "trunc_margin", "max_depth"))
+def tsdf_integrate_colored(
+    vol: TsdfVolume,
+    color_vol: jnp.ndarray,     # [D, D, D, 3] running mean colors
+    depth: jnp.ndarray,
+    rgb: jnp.ndarray,           # [H, W, 3] float 0..255
+    cam2world: jnp.ndarray,
+    intr: Intrinsics,
+    *,
+    voxel_size: float = 0.02,
+    trunc_margin: float = 0.1,
+    max_depth: float = 6.0,
+):
+    """Colored TSDF fusion (the reference's TSDFfusion python path:
+    tsdf-fusion-python ``fusion.TSDFVolume.integrate`` with 2 cm voxels —
+    ``src/TSDFfusion.py.in``). Same projective update as tsdf_integrate plus
+    a running weighted mean of the observed color per voxel."""
+    D = vol.tsdf.shape[0]
+    H, W = depth.shape
+    cam2base = jnp.linalg.inv(vol.base2world) @ cam2world
+    R = cam2base[:3, :3]
+    t = cam2base[:3, 3]
+    ax = vol.origin[0] + jnp.arange(D, dtype=vol.tsdf.dtype) * voxel_size
+    ay = vol.origin[1] + jnp.arange(D, dtype=vol.tsdf.dtype) * voxel_size
+    az = vol.origin[2] + jnp.arange(D, dtype=vol.tsdf.dtype) * voxel_size
+    bx, by, bz = ax - t[0], ay - t[1], az - t[2]
+
+    def cam_coord(col):
+        return (R[0, col] * bx[None, None, :]
+                + R[1, col] * by[None, :, None]
+                + R[2, col] * bz[:, None, None])
+
+    pcx, pcy, pcz = cam_coord(0), cam_coord(1), cam_coord(2)
+    zsafe = jnp.where(pcz > 1e-6, pcz, 1.0)
+    u = jnp.round(intr.fx * (pcx / zsafe) + intr.cx).astype(jnp.int32)
+    v = jnp.round(intr.fy * (pcy / zsafe) + intr.cy).astype(jnp.int32)
+    in_img = (pcz > 0) & (u >= 0) & (u < W) & (v >= 0) & (v < H)
+    ui = jnp.clip(u, 0, W - 1)
+    vi = jnp.clip(v, 0, H - 1)
+    dv = depth[vi, ui]
+    cv = rgb[vi, ui]                                        # [D,D,D,3]
+    sdf = dv - pcz
+    ok = in_img & (dv > 0) & (dv <= max_depth) & (sdf > -trunc_margin)
+    dist = jnp.minimum(1.0, sdf / trunc_margin)
+    w_old = vol.weight
+    w_new = w_old + 1.0
+    t_new = (vol.tsdf * w_old + dist) / w_new
+    c_new = (color_vol * w_old[..., None] + cv) / w_new[..., None]
+    return (TsdfVolume(tsdf=jnp.where(ok, t_new, vol.tsdf),
+                       weight=jnp.where(ok, w_new, vol.weight),
+                       origin=vol.origin, base2world=vol.base2world),
+            jnp.where(ok[..., None], c_new, color_vol))
+
+
 def tsdf_integrate_batch(vols: TsdfVolume, depths: jnp.ndarray,
                          cam2world: jnp.ndarray, intr: Intrinsics,
                          **kw) -> TsdfVolume:

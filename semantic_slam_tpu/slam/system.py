@@ -142,6 +142,64 @@ class SlamSystem:
         pass
 
     # ------------------------------------------------------------------
+    # place recognition / relocalization
+    # ------------------------------------------------------------------
+
+    def attach_place_recognition(self, vocab):
+        """Enable BoW keyframe indexing (relocalization + loop detection).
+
+        Fills the KeyFrameDatabase role of the reference (System.cc:79)."""
+        from semantic_slam_tpu.slam.vocab import KeyFrameDatabase
+
+        self._kfdb = KeyFrameDatabase(vocab, self.K)
+        # index existing keyframes
+        from semantic_slam_tpu.ops.orb import unpack_to_pm1
+        for k in range(self.n_kf):
+            d = np.asarray(unpack_to_pm1(jnp.asarray(self.kf_desc[k])))
+            self._kfdb.add(k, d, self.kf_kp_valid[k])
+
+    def _relocalize(self, fi: FrameInput) -> bool:
+        """BoW candidate keyframes -> 3D-2D descriptor matching -> pose GN
+        (the reference's Tracking::Relocalization flow)."""
+        if getattr(self, "_kfdb", None) is None or self.n_kf == 0:
+            return False
+        from semantic_slam_tpu.slam.tracking import pose_optimize
+        from semantic_slam_tpu.ops.match import match_descriptors
+        from semantic_slam_tpu.ops.orb import unpack_to_pm1
+
+        scores = self._kfdb.query(fi.desc_pm1, fi.valid)
+        for cand in np.argsort(-scores)[:3]:
+            if scores[cand] <= 0:
+                break
+            obs = (self.pt_obs_kf == cand).any(axis=1) & self.pt_valid
+            ids = np.nonzero(obs)[0][:1024]
+            if len(ids) < 30:
+                continue
+            pdesc = unpack_to_pm1(jnp.asarray(self.pt_desc[ids]))
+            res = match_descriptors(
+                pdesc, jnp.asarray(fi.desc_pm1),
+                jnp.ones(len(ids), bool), jnp.asarray(fi.valid),
+                max_dist=60, ratio=0.85, mutual=True)
+            midx = np.asarray(res.idx)
+            sel = midx >= 0
+            if sel.sum() < 20:
+                continue
+            pts_w = np.zeros((len(ids), 3), np.float32)
+            uv_obs = np.zeros((len(ids), 2), np.float32)
+            pts_w[sel] = self.pt_xyz[ids[sel]]
+            uv_obs[sel] = fi.uv[midx[sel]]
+            opt = pose_optimize(
+                self.intr, jnp.asarray(self.kf_pose[cand]),
+                jnp.asarray(pts_w), jnp.asarray(uv_obs), jnp.asarray(sel),
+                jnp.ones(len(ids)))
+            if int(opt.n_inliers) >= 20:
+                self.Tcw = np.asarray(opt.Tcw)
+                self.velocity = np.eye(4, dtype=np.float32)
+                self.state = "OK"
+                return True
+        return False
+
+    # ------------------------------------------------------------------
     # internals
     # ------------------------------------------------------------------
 
@@ -188,8 +246,12 @@ class SlamSystem:
         self.stats["n_tracked"].append(int(res.n_matches))
         self.stats["n_inliers"].append(n_inl)
         if n_inl < 10:
-            # lost: fall back to prediction (relocalization comes with loop
-            # module's place recognition; reference parity: tracking LOST flag)
+            # lost: try BoW relocalization when place recognition is attached
+            # (Tracking::Relocalization parity); otherwise coast on the
+            # prediction with the LOST flag set.
+            if self._relocalize(fi):
+                self.frames_since_kf += 1
+                return
             self.state = "LOST"
             self.Tcw = Tcw_pred
             self.velocity = np.eye(4, dtype=np.float32)
@@ -281,6 +343,10 @@ class SlamSystem:
             self.pt_first_kf[sl] = k
 
         self._update_covisibility(k)
+        if getattr(self, "_kfdb", None) is not None:
+            from semantic_slam_tpu.ops.orb import unpack_to_pm1
+            d = np.asarray(unpack_to_pm1(jnp.asarray(fi.desc_u8)))
+            self._kfdb.add(k, d, fi.valid)
         return k
 
     def _update_covisibility(self, k: int):
@@ -294,8 +360,11 @@ class SlamSystem:
         weights = np.where(counts >= 5, counts, 0)  # min weight threshold
         order = np.argsort(-weights)[:C]
         sel = weights[order] > 0
-        self.covis_idx[k] = np.where(sel, order, -1)
-        self.covis_w[k] = np.where(sel, weights[order], 0)
+        n = len(order)   # may be < C when keyframe capacity < covis width
+        self.covis_idx[k, :n] = np.where(sel, order, -1)
+        self.covis_idx[k, n:] = -1
+        self.covis_w[k, :n] = np.where(sel, weights[order], 0)
+        self.covis_w[k, n:] = 0
         # symmetric insert into partners (keep their top-C)
         for j in order[sel]:
             w = counts[j]
