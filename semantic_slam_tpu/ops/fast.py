@@ -69,6 +69,35 @@ def fast_score(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
     return score
 
 
+def fast_score_two_thresholds(img: jnp.ndarray, t_hi: float, t_lo: float):
+    """Both threshold score maps from ONE set of circle planes (the 16
+    rolled images and the diff tensor are the expensive part; sharing them
+    halves the detection cost of the iniTh/minTh fallback scheme)."""
+    img = img.astype(jnp.float32)
+    planes = _circle_planes(img)
+    diff = planes - img[None]
+
+    def score_for(threshold):
+        bright = diff > threshold
+        dark = diff < -threshold
+
+        def has_arc(mask):
+            m2 = jnp.concatenate([mask, mask[: ARC_LEN - 1]], axis=0)
+            run = m2[:16]
+            for j in range(1, ARC_LEN):
+                run = run & m2[j: j + 16]
+            return jnp.any(run, axis=0)
+
+        is_bright = has_arc(bright)
+        is_dark = has_arc(dark)
+        s_bright = jnp.sum(jnp.maximum(diff - threshold, 0.0), axis=0)
+        s_dark = jnp.sum(jnp.maximum(-diff - threshold, 0.0), axis=0)
+        score = jnp.where(is_bright, s_bright, 0.0)
+        return jnp.where(is_dark & (s_dark > score), s_dark, score)
+
+    return score_for(t_hi), score_for(t_lo)
+
+
 def nms3x3(score: jnp.ndarray) -> jnp.ndarray:
     """Keep only local maxima in a 3x3 neighborhood (ties broken toward the
     lexicographically-first pixel via strict comparison on shifted copies)."""
@@ -108,10 +137,9 @@ def detect_fast_grid(
     (iniThFAST/minThFAST fallback semantics).
     """
     H, W = img.shape
-    s_hi = nms3x3(fast_score(img, ini_threshold))
-    s_lo = nms3x3(fast_score(img, min_threshold))
-    s_hi = _mask_border(s_hi, margin)
-    s_lo = _mask_border(s_lo, margin)
+    s_hi, s_lo = fast_score_two_thresholds(img, ini_threshold, min_threshold)
+    s_hi = _mask_border(nms3x3(s_hi), margin)
+    s_lo = _mask_border(nms3x3(s_lo), margin)
 
     # pad to multiples of cell
     Hp = (H + cell - 1) // cell * cell

@@ -123,6 +123,17 @@ def match_shapes_i1(hu_a: jnp.ndarray, hu_b: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(jnp.where(usable, term, 0.0))
 
 
+def mask_centroid(mask: jnp.ndarray) -> jnp.ndarray:
+    """[H, W] -> [2] (cx, cy) centroid from first-order moments
+    (cv::moments m10/m00, m01/m00)."""
+    m = mask.astype(jnp.float32)
+    H, W = m.shape
+    ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    m00 = jnp.sum(m) + 1e-9
+    return jnp.stack([jnp.sum(xs * m) / m00, jnp.sum(ys * m) / m00])
+
+
 def mask_iou(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     inter = jnp.sum(a & b, axis=(-2, -1))
     union = jnp.sum(a | b, axis=(-2, -1))

@@ -52,21 +52,40 @@ def _integral(img: jnp.ndarray) -> jnp.ndarray:
     return jnp.pad(s, ((1, 0), (1, 0)) + ((0, 0),) * (img.ndim - 2))
 
 
+# Quantized window radii. Per-pixel metric radii are snapped to the nearest
+# entry so every SAT read is a STATIC shift (a dense slice of the padded
+# table) instead of a per-pixel gather — XLA gathers run ~50x below TPU
+# bandwidth and dominated this op's cost; static shifts are bandwidth-bound.
+_RADII = (1, 2, 3, 4, 6, 8, 12, 16, 24)
+
+
 def _box_sum(sat: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
-    """Window sums with per-pixel radius r [H, W] via 4 gathers into the SAT.
+    """Window sums with per-pixel radius r [H, W] snapped to _RADII.
 
     sat is [H+1, W+1, C]; returns [H, W, C] sums over the clipped
-    (2r+1)x(2r+1) window centered at each pixel.
+    (2r'+1)x(2r'+1) window. Index clamping is emulated by edge-replicating
+    the SAT (a clamped cumulative read equals the replicated edge value).
     """
     H = sat.shape[0] - 1
     W = sat.shape[1] - 1
-    yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
-    xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
-    y0 = jnp.clip(yy - r, 0, H)
-    y1 = jnp.clip(yy + r + 1, 0, H)
-    x0 = jnp.clip(xx - r, 0, W)
-    x1 = jnp.clip(xx + r + 1, 0, W)
-    return (sat[y1, x1] - sat[y0, x1] - sat[y1, x0] + sat[y0, x0])
+    rmax = _RADII[-1]
+    satp = jnp.pad(sat, ((rmax, rmax + 1), (rmax, rmax + 1), (0, 0)),
+                   mode="edge")
+
+    def box_at(rr: int) -> jnp.ndarray:
+        # window [y-rr, y+rr] x [x-rr, x+rr]; SAT taps (y+rr+1, y-rr) etc.
+        a = rmax + rr + 1
+        b = rmax - rr
+        return (satp[a:a + H, a:a + W] - satp[b:b + H, a:a + W]
+                - satp[a:a + H, b:b + W] + satp[b:b + H, b:b + W])
+
+    stack = jnp.stack([box_at(rr) for rr in _RADII])      # [R, H, W, C]
+    radii = jnp.asarray(_RADII, jnp.float32)
+    # nearest quantized radius per pixel
+    sel = jnp.argmin(jnp.abs(r.astype(jnp.float32)[..., None]
+                             - radii[None, None, :]), axis=-1)  # [H, W]
+    onehot = jax.nn.one_hot(sel, len(_RADII), dtype=sat.dtype)  # [H, W, R]
+    return jnp.einsum("rhwc,hwr->hwc", stack, onehot)
 
 
 def _smallest_eigvec_3x3(C: jnp.ndarray) -> jnp.ndarray:

@@ -24,7 +24,8 @@ import numpy as np
 
 from semantic_slam_tpu.config import SlamConfig
 from semantic_slam_tpu.geometry.camera import Intrinsics
-from semantic_slam_tpu.ops.maskops import erode, mask_area, hu_moments
+from semantic_slam_tpu.ops.maskops import (
+    erode, mask_area, hu_moments, mask_centroid, match_shapes_i1)
 from semantic_slam_tpu.semantic import objects as O
 from semantic_slam_tpu.semantic.don import DoN
 from semantic_slam_tpu.semantic.detector import Detections
@@ -143,13 +144,66 @@ class Engine:
                 self.inventory.observe(
                     oidx, kf_id, label, score,
                     bbox=detections.boxes[i],
-                    hu=np.asarray(hu_moments(mask)))
+                    hu=np.asarray(hu_moments(mask)),
+                    centroid=np.asarray(mask_centroid(mask)))
             elif is_new:
                 self.bank = O.release_object(self.bank, jnp.int32(oidx))
             self.timing["insert"].append(time.perf_counter() - t0)
 
         if self.viewer is not None:
             self.viewer.update(self.bank, Tcw)
+
+    def track_by_contours(self, mask: jnp.ndarray, label: int, score: float,
+                          Tcw: np.ndarray,
+                          max_shape_dist: float = 1.0,
+                          max_epipolar_px: float = 50.0) -> int:
+        """Contour-based object association (TrackObjectContours,
+        Engine.cpp:503-607): Hu-moment shape similarity against each stored
+        observation plus the epipolar distance of the stored centroid's line
+        to the new centroid. The reference computes these diagnostics but
+        returns no match; here the commented-out decision rule
+        c2 ∧ (c3 ∨ c4) is made operational. Returns object slot or -1."""
+        from semantic_slam_tpu.geometry.camera import fundamental_from_poses
+
+        hu_new = np.asarray(hu_moments(mask))
+        c_new = np.asarray(mask_centroid(mask))
+        e = self.cfg.engine
+        bank = self.bank
+        order = np.argsort(np.asarray(bank.obj_created))
+        K = np.asarray(self.intr.K)
+        for o in order:
+            if not bool(bank.obj_valid[o]):
+                continue
+            obs = self.inventory.obs.get(int(o), [])
+            if not obs:
+                continue
+            min_shape = np.inf
+            min_epi = np.inf
+            for ob in obs:
+                if ob.get("hu") is None:
+                    continue
+                d = float(match_shapes_i1(jnp.asarray(hu_new),
+                                          jnp.asarray(ob["hu"])))
+                min_shape = min(min_shape, d)
+                if ob.get("centroid") is not None and ob["kf"] in \
+                        self.inventory.kf_poses:
+                    T2 = self.inventory.kf_poses[ob["kf"]]
+                    F12 = np.asarray(fundamental_from_poses(
+                        jnp.asarray(K), jnp.asarray(Tcw, jnp.float32),
+                        jnp.asarray(T2, jnp.float32)))
+                    c1h = np.array([c_new[0], c_new[1], 1.0])
+                    line = c1h @ F12        # line in the other image
+                    c2h = np.array([ob["centroid"][0], ob["centroid"][1], 1.0])
+                    dd = abs(line @ c2h) / max(
+                        np.hypot(line[0], line[1]), 1e-9)
+                    min_epi = min(min_epi, dd)
+            c2 = min_shape < max_shape_dist
+            c3 = int(bank.obj_label[o]) == label
+            c4 = float(bank.obj_score[o]) > e.score_margin * score
+            epi_ok = (min_epi < max_epipolar_px) or not np.isfinite(min_epi)
+            if c2 and (c3 or c4) and epi_ok:
+                return int(o)
+        return -1
 
     def _alloc_slot(self) -> int:
         free = np.nonzero(~np.asarray(self.bank.obj_valid))[0]

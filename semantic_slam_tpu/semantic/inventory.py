@@ -33,11 +33,12 @@ class Inventory:
             self.kf_poses[kf_id] = np.asarray(Tcw).copy()
 
     def observe(self, slot: int, kf_id: int, label: int, score: float,
-                bbox=None, hu=None):
+                bbox=None, hu=None, centroid=None):
         self.obs.setdefault(slot, []).append(dict(
             kf=kf_id, label=label, score=score,
             bbox=None if bbox is None else np.asarray(bbox),
-            hu=None if hu is None else np.asarray(hu)))
+            hu=None if hu is None else np.asarray(hu),
+            centroid=None if centroid is None else np.asarray(centroid)))
 
     def observations_of(self, slot: int) -> int:
         return len(self.obs.get(slot, []))

@@ -441,6 +441,52 @@ class SlamSystem:
         # current pose rides along with the newest keyframe
         self.Tcw = self.kf_pose[k_new].copy()
 
+    def global_bundle_adjust(self, iters: int = 10, max_points: int = 4096,
+                             max_obs: int = 8):
+        """Full-map BA (the reference's RunGlobalBundleAdjustment after loop
+        closure, System.h:208-210). All keyframes free except the first;
+        points subsampled to the obs-richest `max_points` (static capacity
+        for the dense Schur build)."""
+        if self.n_kf < 3:
+            return
+        K = self.n_kf
+        pt_sel = np.nonzero(self.pt_valid & (self.pt_obs_n >= 2))[0]
+        if len(pt_sel) > max_points:
+            pt_sel = pt_sel[np.argsort(-self.pt_obs_n[pt_sel])[:max_points]]
+        Pl = max_points
+        obs_kf = np.full((Pl, max_obs), -1, np.int32)
+        obs_uv = np.zeros((Pl, max_obs, 2), np.float32)
+        obs_w = np.zeros((Pl, max_obs), np.float32)
+        for i, p in enumerate(pt_sel):
+            o_out = 0
+            for o in range(self.pt_obs_n[p]):
+                g = self.pt_obs_kf[p, o]
+                if g < 0 or g >= K or o_out >= max_obs:
+                    continue
+                kp = self.pt_obs_kp[p, o]
+                obs_kf[i, o_out] = g
+                obs_uv[i, o_out] = self.kf_kp_uv[g, kp]
+                lvl = self.kf_kp_level[g, kp]
+                obs_w[i, o_out] = 1.0 / (1.2 ** (2.0 * lvl))
+                o_out += 1
+        pose = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))
+        pose[:K] = self.kf_pose[:K]
+        cam_fixed = np.zeros(K, bool)
+        cam_fixed[0] = True
+        pt_valid_l = np.zeros(Pl, bool)
+        pt_valid_l[: len(pt_sel)] = True
+        xyz = np.zeros((Pl, 3), np.float32)
+        xyz[: len(pt_sel)] = self.pt_xyz[pt_sel]
+        prob = BAProblem(
+            kf_pose=jnp.asarray(pose), pt_xyz=jnp.asarray(xyz),
+            obs_kf=jnp.asarray(obs_kf), obs_uv=jnp.asarray(obs_uv),
+            obs_w=jnp.asarray(obs_w), cam_fixed=jnp.asarray(cam_fixed),
+            pt_valid=jnp.asarray(pt_valid_l))
+        res = bundle_adjust(self.intr, prob, iters=iters, trim_rounds=2)
+        self.kf_pose[:K] = np.asarray(res.kf_pose)[:K]
+        self.pt_xyz[pt_sel] = np.asarray(res.pt_xyz)[: len(pt_sel)]
+        self.Tcw = self.kf_pose[self.n_kf - 1].copy()
+
     # --- point culling (ORB-SLAM2 MapPointCulling semantics) -------------
 
     def _cull_points(self):

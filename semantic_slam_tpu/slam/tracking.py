@@ -129,7 +129,8 @@ class TrackResult(NamedTuple):
     inlier_kp: jnp.ndarray    # [N_kp] bool keypoint is a pose inlier
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "max_dist"))
+@functools.partial(jax.jit, static_argnames=("radius", "max_dist",
+                                             "max_candidates"))
 def track_with_map(
     intr: Intrinsics,
     Tcw_pred: jnp.ndarray,     # [4, 4] motion-model prediction
@@ -145,32 +146,43 @@ def track_with_map(
     *,
     radius: float = 15.0,
     max_dist: int = 75,
+    max_candidates: int = 4096,
 ) -> TrackResult:
     """Search-by-projection + pose GN against a (local) map.
 
     Mirrors ORB-SLAM2 TrackWithMotionModel/TrackLocalMap: project every valid
-    map point with the predicted pose, gate candidate keypoints to a pixel
-    window, Hamming-match on the MXU, then optimize the pose on the matches.
+    map point with the predicted pose, compact the frustum-visible subset
+    (the "local map") to `max_candidates` slots with fast row gathers, then
+    window-masked MXU Hamming matching + pose GN on the compacted set — the
+    distance matrix shrinks from [P, N] to [C, N].
     """
+    P = pt_xyz.shape[0]
     pc = transform_points(Tcw_pred[None], pt_xyz[None])[0]
     uv_proj, z = project(intr, pc)
     visible = pt_valid & (z > 0.05) & in_image(uv_proj, width, height, margin=5)
 
-    mask = window_mask(uv_proj, kp_uv, radius)
-    res = match_descriptors(pt_desc_pm1, kp_desc_pm1, visible, kp_valid,
+    C = min(max_candidates, P)
+    _, cand = jax.lax.top_k(visible.astype(jnp.float32), C)
+    cvis = visible[cand]
+    cdesc = pt_desc_pm1[cand]
+    cxyz = pt_xyz[cand]
+    cuv = uv_proj[cand]
+
+    mask = window_mask(cuv, kp_uv, radius)
+    res = match_descriptors(cdesc, kp_desc_pm1, cvis, kp_valid,
                             mask, max_dist=max_dist, ratio=0.95, mutual=True)
-    matched = res.idx >= 0                                   # [P]
+    matched = res.idx >= 0                                   # [C]
     kp_idx = jnp.clip(res.idx, 0, None)
     uv_obs = kp_uv[kp_idx]
     inv_sigma2 = 1.0 / (1.2 ** (2.0 * kp_level[kp_idx].astype(jnp.float32)))
 
-    opt = pose_optimize(intr, Tcw_pred, pt_xyz, uv_obs, matched, inv_sigma2)
+    opt = pose_optimize(intr, Tcw_pred, cxyz, uv_obs, matched, inv_sigma2)
 
     # per-keypoint view of the matching (for map bookkeeping on the host)
     N = kp_uv.shape[0]
     match_pt = jnp.full((N,), -1, jnp.int32)
-    pslots = jnp.arange(pt_xyz.shape[0], dtype=jnp.int32)
-    match_pt = match_pt.at[kp_idx].set(jnp.where(matched, pslots, -1), mode="drop")
+    match_pt = match_pt.at[kp_idx].set(
+        jnp.where(matched, cand.astype(jnp.int32), -1), mode="drop")
     inlier_kp = jnp.zeros((N,), bool).at[kp_idx].set(opt.inliers, mode="drop")
     return TrackResult(
         Tcw=opt.Tcw,
