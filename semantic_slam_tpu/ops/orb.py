@@ -92,16 +92,24 @@ _SAMPLING_W = _sampling_matrix()          # [N_BINS*512, 961]
 
 
 def extract_patches(img: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
-    """[H, W] image + [N, 2] integer keypoint coords -> [N, 961] patches."""
+    """[H, W] image + [N, 2] integer keypoint coords -> [N, 961] patches.
+
+    Row gather (contiguous rows — fast) then column *selection as a batched
+    one-hot matmul*: a per-keypoint lane gather of 31 columns runs ~50x below
+    bandwidth on TPU, while [N,31,W]x[N,W,31] is MXU noise."""
     H, W = img.shape
+    N = uv.shape[0]
     xi = jnp.clip(uv[:, 0].astype(jnp.int32), HALF_PATCH, W - HALF_PATCH - 1)
     yi = jnp.clip(uv[:, 1].astype(jnp.int32), HALF_PATCH, H - HALF_PATCH - 1)
     offs = jnp.arange(-HALF_PATCH, HALF_PATCH + 1)
     rows = img[yi[:, None] + offs[None, :]]                  # [N, 31, W]
-    cols = xi[:, None, None] + offs[None, None, :]           # [N, 1, 31]
-    patches = jnp.take_along_axis(
-        rows, jnp.broadcast_to(cols, (uv.shape[0], PATCH, PATCH)), axis=2)
-    return patches.reshape(uv.shape[0], PATCH * PATCH)
+    cols = xi[:, None] + offs[None, :]                       # [N, 31]
+    wpos = jax.lax.broadcasted_iota(jnp.int32, (1, W, 1), 1)
+    onehot = (wpos == cols[:, None, :]).astype(img.dtype)    # [N, W, 31]
+    patches = jax.lax.dot_general(
+        rows, onehot, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                  # [N, 31, 31]
+    return patches.reshape(N, PATCH * PATCH)
 
 
 @jax.jit
@@ -129,7 +137,8 @@ def compute_descriptors(img: jnp.ndarray, uv: jnp.ndarray, valid: jnp.ndarray):
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)                  # [N, N_BINS*512]
     S = S.reshape(N, N_BINS, 2 * N_PAIRS)
-    samples = jnp.take_along_axis(S, bin_i[:, None, None], axis=1)[:, 0]
+    bin_onehot = jax.nn.one_hot(bin_i, N_BINS, dtype=S.dtype)
+    samples = jnp.einsum("nbs,nb->ns", S, bin_onehot)
     t1 = samples[:, :N_PAIRS]
     t2 = samples[:, N_PAIRS:]
     bits = (t1 < t2) & valid[:, None]
