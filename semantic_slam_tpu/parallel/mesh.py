@@ -22,6 +22,22 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_distributed(coordinator: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> int:
+    """Multi-host bring-up: `jax.distributed.initialize` so `jax.devices()`
+    spans all hosts and meshes lay ICI inside a slice / DCN across hosts.
+    No-ops (returning the local device count) when already initialized or
+    when running single-process."""
+    import jax
+
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    return len(jax.devices())
+
+
 def make_mesh(n_devices: Optional[int] = None,
               model_parallel: int = 1,
               axis_names: Tuple[str, str] = ("data", "model")) -> Mesh:

@@ -36,7 +36,7 @@ class Engine:
     """Per-keyframe semantic labeling engine."""
 
     def __init__(self, categories: Dict[int, str], cfg: SlamConfig,
-                 detector=None, viewer=None):
+                 detector=None, viewer=None, enable_tsdf: bool = False):
         self.cfg = cfg
         self.categories = categories
         self.intr = Intrinsics.from_config(cfg.camera)
@@ -48,9 +48,14 @@ class Engine:
         self.bank = O.ObjectBank.empty(e.max_objects, e.max_points_per_object)
         self._erode_r = max(1, int(math.ceil(e.dist)))
         self._res_r = int(math.ceil(e.res))
+        # per-object TSDF reconstruction (the reference plumbs this but ships
+        # it disabled — Engine.cpp:221-233, Object.cpp:66-68; here it's an
+        # opt-in working path over the blocked kernel)
+        self.enable_tsdf = enable_tsdf
+        self.tsdf_vols: Dict[int, object] = {}
         self.timing: Dict[str, List[float]] = {
             k: [] for k in ("don", "detect", "track", "create", "densify",
-                            "insert")}
+                            "insert", "tsdf")}
 
     # ------------------------------------------------------------------
 
@@ -137,6 +142,13 @@ class Engine:
                 res_radius=self._res_r, max_new=1024)
             self.timing["densify"].append(time.perf_counter() - t0)
 
+            # 4b. per-object TSDF integration from mask-multiplied depth
+            # (the Object::Integrate contract, Engine.cpp:192-193/221-233)
+            if self.enable_tsdf:
+                t0 = time.perf_counter()
+                self._integrate_tsdf(oidx, mask, depth_j, Tcw_j)
+                self.timing["tsdf"].append(time.perf_counter() - t0)
+
             # 5. inventory insert-or-delete (HasEnoughObjectPoints rule)
             t0 = time.perf_counter()
             n_pts = int(self.bank.pt_n[oidx])
@@ -208,6 +220,47 @@ class Engine:
     def _alloc_slot(self) -> int:
         free = np.nonzero(~np.asarray(self.bank.obj_valid))[0]
         return int(free[0]) if len(free) else -1
+
+    def _integrate_tsdf(self, oidx: int, mask, depth_j, Tcw_j):
+        """Per-object TSDF fusion from mask-multiplied depth (the
+        Object::Integrate contract). Volume anchored at the first observing
+        keyframe with the masked-depth min-corner origin (Object.cpp:22-49)."""
+        from semantic_slam_tpu.geometry.se3 import se3_inverse
+        from semantic_slam_tpu.ops.tsdf import (
+            origin_from_depth, tsdf_blocked_create, tsdf_integrate_blocked)
+
+        t = self.cfg.tsdf
+        masked = jnp.where(mask, depth_j, 0.0)
+        Twc = se3_inverse(Tcw_j)
+        if oidx not in self.tsdf_vols:
+            origin = origin_from_depth(masked, self.intr)
+            # np copy: the volume donates on integrate, so base2world must
+            # not alias the cam2world argument buffer
+            self.tsdf_vols[oidx] = tsdf_blocked_create(
+                np.asarray(origin), np.asarray(Twc), dim=t.dim, block=8)
+        self.tsdf_vols[oidx] = tsdf_integrate_blocked(
+            self.tsdf_vols[oidx], masked, Twc, self.intr,
+            voxel_size=t.voxel_size, trunc_margin=t.trunc_margin,
+            max_depth=t.max_integrate_depth, block=8)
+
+    def save_tsdf_surfaces(self, out_dir: str):
+        """Export per-object TSDF surface clouds (tsdfN.ply parity,
+        tsdf.cu:98-133)."""
+        import os
+
+        from semantic_slam_tpu.io.native import write_ply
+        from semantic_slam_tpu.ops.tsdf import (
+            tsdf_blocked_to_dense, tsdf_surface_points)
+
+        os.makedirs(out_dir, exist_ok=True)
+        t = self.cfg.tsdf
+        for oidx, vol in self.tsdf_vols.items():
+            dense = tsdf_blocked_to_dense(vol, t.dim, 8)
+            pts, valid = tsdf_surface_points(
+                dense, max_points=131072, voxel_size=t.voxel_size)
+            p = np.asarray(pts)[np.asarray(valid)]
+            if len(p):
+                write_ply(os.path.join(out_dir, f"tsdf{oidx}.ply"), p)
 
     # ------------------------------------------------------------------
 
