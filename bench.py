@@ -121,6 +121,19 @@ def main():
     details["hamming_gcomparisons_per_s"] = (
         1024 * 1024 / _timeit(match_step) / 1e9)
 
+    # ---- Mask R-CNN inference (flagship model, 256x320) -------------------
+    try:
+        from semantic_slam_tpu.models.maskrcnn import MaskRCNN
+
+        model = MaskRCNN(pre_nms=256, post_nms=64, roi_samples=32)
+        mimg = jnp.asarray(rs.uniform(0, 255, (256, 320, 3)).astype(np.float32))
+        params = model.init(jax.random.PRNGKey(0), mimg)
+        infer = jax.jit(lambda p, im: model.apply(p, im)["scores"])
+        details["maskrcnn_fps_256x320"] = 1.0 / _timeit(
+            lambda: infer(params, mimg), warmup=1, iters=5)
+    except Exception as e:  # keep the headline metric robust
+        details["maskrcnn_error"] = str(e)[:200]
+
     with open("bench_details.json", "w") as f:
         json.dump(details, f, indent=2)
 

@@ -217,6 +217,14 @@ class Engine:
                 return int(o)
         return -1
 
+    def reset(self):
+        """Clear all object state (the lidar driver calls this per frame —
+        reference ``label_instance_lidar.cpp:129``)."""
+        e = self.cfg.engine
+        self.bank = O.ObjectBank.empty(e.max_objects, e.max_points_per_object)
+        self.inventory = Inventory(self.cfg)
+        self.tsdf_vols = {}
+
     def _alloc_slot(self) -> int:
         free = np.nonzero(~np.asarray(self.bank.obj_valid))[0]
         return int(free[0]) if len(free) else -1

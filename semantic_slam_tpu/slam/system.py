@@ -158,6 +158,15 @@ class SlamSystem:
             d = np.asarray(unpack_to_pm1(jnp.asarray(self.kf_desc[k])))
             self._kfdb.add(k, d, self.kf_kp_valid[k])
 
+    def attach_loop_closing(self, vocab, run_global_ba: bool = False):
+        """Enable in-loop closure: after every keyframe insertion the
+        LoopCloser runs detection/verification/correction (the reference's
+        LoopClosing thread, here synchronous per keyframe)."""
+        from semantic_slam_tpu.slam.loop import LoopCloser
+
+        self._loop_closer = LoopCloser(self, vocab)
+        self._loop_run_gba = run_global_ba
+
     def _relocalize(self, fi: FrameInput) -> bool:
         """BoW candidate keyframes -> 3D-2D descriptor matching -> pose GN
         (the reference's Tracking::Relocalization flow)."""
@@ -278,6 +287,10 @@ class SlamSystem:
             self.ref_kf_inliers = n_inl
             self._local_ba()
             self._cull_points()
+            if getattr(self, "_loop_closer", None) is not None:
+                closed = self._loop_closer.on_keyframe(kf)
+                if closed is not None and getattr(self, "_loop_run_gba", False):
+                    self.global_bundle_adjust()
 
     # --- keyframe insertion / map growth --------------------------------
 
