@@ -121,7 +121,25 @@ def main():
     details["hamming_gcomparisons_per_s"] = (
         1024 * 1024 / _timeit(match_step) / 1e9)
 
-    # ---- Mask R-CNN inference (flagship model, 256x320) -------------------
+    with open("bench_details.json", "w") as f:
+        json.dump(details, f, indent=2)
+
+    # Reference throughput: real-time-paced at 30 fps (TUM) on CPU.
+    # The headline line prints BEFORE the (slow-to-compile, optional) model
+    # benchmark so a model-compile stall can never lose it.
+    print(json.dumps({
+        "metric": "tracking_fps",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 30.0, 2),
+    }), flush=True)
+
+    # ---- Mask R-CNN inference (flagship model, 256x320; optional — the
+    # remote-compile path can take >15 min for the full graph, so this only
+    # runs when SST_BENCH_MODEL=1) -----------------------------------------
+    import os
+    if os.environ.get("SST_BENCH_MODEL") != "1":
+        return
     try:
         from semantic_slam_tpu.models.maskrcnn import MaskRCNN
 
@@ -133,17 +151,8 @@ def main():
             lambda: infer(params, mimg), warmup=1, iters=5)
     except Exception as e:  # keep the headline metric robust
         details["maskrcnn_error"] = str(e)[:200]
-
     with open("bench_details.json", "w") as f:
         json.dump(details, f, indent=2)
-
-    # Reference throughput: real-time-paced at 30 fps (TUM) on CPU.
-    print(json.dumps({
-        "metric": "tracking_fps",
-        "value": round(fps, 2),
-        "unit": "frames/s",
-        "vs_baseline": round(fps / 30.0, 2),
-    }))
 
 
 if __name__ == "__main__":
