@@ -72,8 +72,7 @@ def main():
         engine = Engine(cats, cfg, detector=detector)
         kf_ids = m.valid_kf_indices()
         poses = np.asarray(m.kf_pose)
-        for idx, k in enumerate(kf_ids):
-            t, rgb, depth = ds[idx]
+        for idx, ((t, rgb, depth), k) in enumerate(zip(ds.stream(), kf_ids)):
             depth = lattice_sparsify_depth(depth)   # ref :89-100 (3x4 lattice)
             print(f"Processing keyframe {idx}/{len(kf_ids)}")
             engine.run(rgb, depth, kf_id=int(k), Tcw=poses[k])

@@ -62,8 +62,9 @@ def main():
         from semantic_slam_tpu.io.datasets import TumRgbdDataset
         ds = TumRgbdDataset(args.dataset,
                             depth_factor=cfg.camera.depth_map_factor)
-        for i in range(len(ds)):
-            t, rgb, depth = ds[i]
+        # stream(): native threaded prefetch loader (decode overlapped with
+        # tracking) when native/ is built; sequential PIL reads otherwise
+        for i, (t, rgb, depth) in enumerate(ds.stream()):
             gray = ds.gray(rgb)
             t0 = time.perf_counter()
             sys_.track_rgbd(gray, depth, t)

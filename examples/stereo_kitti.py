@@ -70,8 +70,7 @@ def main():
     else:
         from semantic_slam_tpu.io.datasets import KittiStereoDataset
         ds = KittiStereoDataset(args.dataset)
-        for i in range(len(ds)):
-            t, left, right = ds[i]
+        for i, (t, left, right) in enumerate(ds.stream()):
             t0 = time.perf_counter()
             track_stereo(left, right, t)
             t_track.append(time.perf_counter() - t0)

@@ -21,6 +21,11 @@ import numpy as np
 
 
 def _imread(path: str) -> np.ndarray:
+    from semantic_slam_tpu.io import native
+
+    img = native.imread(path)  # C++ libpng/libjpeg when built
+    if img is not None:
+        return img
     try:
         import imageio.v3 as iio
         return np.asarray(iio.imread(path))
@@ -56,6 +61,27 @@ class TumRgbdDataset:
         return (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1]
                 + 0.114 * rgb[..., 2]).astype(np.float32)
 
+    def stream(self, n_threads: int = 4, prefetch: int = 8):
+        """Prefetching iterator of (t, rgb, depth) frames. Uses the native
+        threaded loader (decode overlapped with consumer compute) when built,
+        else falls back to sequential __getitem__ reads."""
+        from semantic_slam_tpu.io import native
+
+        try:
+            loader = native.FrameLoader(
+                [os.path.join(self.root, p) for p in self.rgb_files],
+                [os.path.join(self.root, p) for p in self.depth_files],
+                mode_a=native.MODE_RGB_U8, mode_b=native.MODE_SCALED_F32,
+                scale_b=1.0 / self.depth_factor,
+                n_threads=n_threads, prefetch=prefetch)
+        except RuntimeError:
+            for i in range(len(self)):
+                yield self[i]
+            return
+        with loader:
+            for i, (rgb, depth) in enumerate(loader):
+                yield float(self.times[i]), rgb, depth
+
 
 def lattice_sparsify_depth(depth: np.ndarray, row_step: int = 4,
                            col_step: int = 3) -> np.ndarray:
@@ -86,6 +112,25 @@ class KittiStereoDataset:
         left = _imread(os.path.join(self.left_dir, self.files[i])).astype(np.float32)
         right = _imread(os.path.join(self.right_dir, self.files[i])).astype(np.float32)
         return float(self.times[i]), left, right
+
+    def stream(self, n_threads: int = 4, prefetch: int = 8):
+        """Prefetching iterator of (t, left_f32, right_f32) frames (native
+        threaded loader when built, sequential fallback otherwise)."""
+        from semantic_slam_tpu.io import native
+
+        try:
+            loader = native.FrameLoader(
+                [os.path.join(self.left_dir, p) for p in self.files],
+                [os.path.join(self.right_dir, p) for p in self.files],
+                mode_a=native.MODE_GRAY_F32, mode_b=native.MODE_GRAY_F32,
+                n_threads=n_threads, prefetch=prefetch)
+        except RuntimeError:
+            for i in range(len(self)):
+                yield self[i]
+            return
+        with loader:
+            for i, (left, right) in enumerate(loader):
+                yield float(self.times[i]), left, right
 
 
 # ---------------------------------------------------------------------------
