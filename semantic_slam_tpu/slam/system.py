@@ -38,6 +38,9 @@ from semantic_slam_tpu.slam.map import MapArrays
 from semantic_slam_tpu.slam.tracking import track_with_map, need_keyframe
 from semantic_slam_tpu.ops.orb import extract_orb, unpack_to_pm1
 
+CHI2_EPI = 3.841      # 1-DoF epipolar-line transfer gate
+CHI2_REPROJ = 5.991   # 2-DoF reprojection gate
+
 
 @dataclasses.dataclass
 class FrameInput:
@@ -103,6 +106,8 @@ class SlamSystem:
         self.ref_kf_inliers = 0
         self.frame_count = 0
         self.state = "NOT_INITIALIZED"     # -> OK / LOST
+        self.mono = False                  # set by track_monocular
+        self._mono_ref: Optional[FrameInput] = None
         self.trajectory: List[Tuple[float, np.ndarray]] = []   # (t, Tcw)
         self.kf_timestamps: List[float] = []
         self.stats = {"n_tracked": [], "n_inliers": []}
@@ -124,6 +129,22 @@ class SlamSystem:
             desc_u8=np.asarray(feats.desc_u8),
             desc_pm1=np.asarray(feats.desc_pm1),
             valid=np.asarray(feats.valid), depth=d, timestamp=timestamp)
+        return self.track_features(fi)
+
+    def track_monocular(self, gray: np.ndarray,
+                        timestamp: float = 0.0) -> np.ndarray:
+        """Track one monocular frame (System::TrackMonocular parity,
+        reference ``include/ORB_SLAM2/System.h:85-90``). Returns Tcw; until
+        two-view initialization succeeds the pose is identity and state
+        stays NOT_INITIALIZED."""
+        self.mono = True
+        feats = extract_orb(jnp.asarray(gray, jnp.float32), self.cfg.orb)
+        fi = FrameInput(
+            uv=np.asarray(feats.uv), level=np.asarray(feats.level),
+            desc_u8=np.asarray(feats.desc_u8),
+            desc_pm1=np.asarray(feats.desc_pm1),
+            valid=np.asarray(feats.valid),
+            depth=np.zeros(len(feats.uv), np.float32), timestamp=timestamp)
         return self.track_features(fi)
 
     def track_features(self, fi: FrameInput) -> np.ndarray:
@@ -231,6 +252,9 @@ class SlamSystem:
             fi.timestamp)
 
     def _initialize(self, fi: FrameInput):
+        if self.mono:
+            self._initialize_mono(fi)
+            return
         depth_ok = fi.valid & (fi.depth > self.cfg.engine.min_depth)
         if depth_ok.sum() < 50:
             return
@@ -240,6 +264,78 @@ class SlamSystem:
         self.ref_kf_inliers = int(depth_ok.sum())
         self.last_kf_id = kf
         self.frames_since_kf = 0
+
+    def _initialize_mono(self, fi: FrameInput):
+        """Monocular map bootstrap: 2D-2D match against a reference frame,
+        batched RANSAC E/H two-view reconstruction, seed map + two-view BA
+        (the ORB-SLAM2 MonocularInitialization / CreateInitialMapMonocular
+        flow behind System::TrackMonocular, System.h:85-90)."""
+        from semantic_slam_tpu.ops.match import match_descriptors, window_mask
+        from semantic_slam_tpu.slam.initializer import (two_view_init,
+                                                        accept_init)
+
+        if int(fi.valid.sum()) < 100:
+            self._mono_ref = None
+            return
+        if self._mono_ref is None:
+            self._mono_ref = fi
+            return
+        ref = self._mono_ref
+        # SearchForInitialization semantics: 100 px window, ratio 0.9
+        mask = window_mask(jnp.asarray(ref.uv), jnp.asarray(fi.uv), 100.0)
+        res = match_descriptors(
+            jnp.asarray(ref.desc_pm1), jnp.asarray(fi.desc_pm1),
+            jnp.asarray(ref.valid), jnp.asarray(fi.valid), mask,
+            max_dist=50, ratio=0.9, mutual=True)
+        midx = np.asarray(res.idx)
+        sel = midx >= 0
+        if int(sel.sum()) < 100:
+            self._mono_ref = fi      # upstream: reset reference frame
+            return
+        uv2 = np.zeros_like(ref.uv)
+        uv2[sel] = fi.uv[midx[sel]]
+        init = two_view_init(self.intr, jnp.asarray(ref.uv),
+                             jnp.asarray(uv2), jnp.asarray(sel),
+                             seed=self.frame_count)
+        if not accept_init(init, int(sel.sum())):
+            return                   # keep the reference, try next frame
+        # the reference frame defines the world; scale: median depth -> 1
+        scale = 1.0 / float(init.median_depth)
+        R = np.asarray(init.R)
+        t = np.asarray(init.t) * scale
+        pts_w = np.asarray(init.pts1) * scale
+        good = np.asarray(init.good)
+
+        self.Tcw = np.eye(4, dtype=np.float32)
+        k0 = self._insert_keyframe(ref)     # depth all 0 => no depth points
+        T1 = np.eye(4, dtype=np.float32)
+        T1[:3, :3] = R
+        T1[:3, 3] = t
+        self.Tcw = T1
+        k1 = self._insert_keyframe(fi)
+
+        idxs = np.nonzero(good)[0][: self.P - self.n_pt]
+        sl = np.arange(self.n_pt, self.n_pt + len(idxs))
+        self.n_pt += len(idxs)
+        self.pt_xyz[sl] = pts_w[idxs]
+        self.pt_valid[sl] = True
+        self.pt_desc[sl] = fi.desc_u8[midx[idxs]]
+        self.pt_desc_pm1[sl] = fi.desc_pm1[midx[idxs]]
+        self.pt_obs_kf[sl, 0] = k0
+        self.pt_obs_kp[sl, 0] = idxs
+        self.pt_obs_kf[sl, 1] = k1
+        self.pt_obs_kp[sl, 1] = midx[idxs]
+        self.pt_obs_n[sl] = 2
+        self.pt_first_kf[sl] = k0
+        self._update_covisibility(k1)
+        self.global_bundle_adjust(iters=20)  # two-view refinement
+        self.Tcw = self.kf_pose[k1].copy()
+        self.state = "OK"
+        self.velocity = np.eye(4, dtype=np.float32)
+        self.ref_kf_inliers = len(idxs)
+        self.last_kf_id = k1
+        self.frames_since_kf = 0
+        self._mono_ref = None
 
     def _track(self, fi: FrameInput):
         Tcw_pred = (self.velocity @ self.Tcw).astype(np.float32)
@@ -285,6 +381,8 @@ class SlamSystem:
             self.last_kf_id = kf
             self.frames_since_kf = 0
             self.ref_kf_inliers = n_inl
+            if self.mono:
+                self._create_points_mono(kf)
             self._local_ba()
             self._cull_points()
             if getattr(self, "_loop_closer", None) is not None:
@@ -361,6 +459,114 @@ class SlamSystem:
             d = np.asarray(unpack_to_pm1(jnp.asarray(fi.desc_u8)))
             self._kfdb.add(k, d, fi.valid)
         return k
+
+    def _claimed_keypoints(self, k: int) -> np.ndarray:
+        """[N] bool: keypoints of keyframe k already bound to a map point."""
+        claimed = np.zeros(self.N, bool)
+        hit = self.pt_valid[:, None] & (self.pt_obs_kf == k)
+        claimed[self.pt_obs_kp[hit]] = True
+        return claimed
+
+    def _create_points_mono(self, k: int):
+        """Triangulate new map points between keyframe k and its best
+        covisible neighbours (LocalMapping::CreateNewMapPoints semantics:
+        epipolar-gated 2D-2D matching of unclaimed keypoints, DLT
+        triangulation, cheirality + reprojection + parallax acceptance).
+        Matching and triangulation are jitted batched programs; only the
+        acceptance bookkeeping runs on host."""
+        from semantic_slam_tpu.geometry.camera import (
+            fundamental_from_poses, triangulate_linear)
+        from semantic_slam_tpu.ops.match import match_descriptors
+
+        partners = [int(self.kf_parent[k])] + [
+            int(j) for j in self.covis_idx[k][:3] if j >= 0]
+        partners = [j for i, j in enumerate(partners)
+                    if j >= 0 and j != k and j not in partners[:i]][:3]
+        if not partners:
+            return
+        K = np.asarray(self.intr.K)
+        Tk = self.kf_pose[k]
+        unclaimed_k = ~self._claimed_keypoints(k) & self.kf_kp_valid[k]
+        sig2_k = 1.2 ** (2.0 * self.kf_kp_level[k])
+        desc_k = unpack_to_pm1(jnp.asarray(self.kf_desc[k]))
+        for j in partners:
+            if not unclaimed_k.any() or self.n_pt >= self.P:
+                break
+            Tj = self.kf_pose[j]
+            # require real baseline relative to scene depth (upstream skips
+            # near-zero-baseline pairs: no parallax => garbage points)
+            unclaimed_j = ~self._claimed_keypoints(j) & self.kf_kp_valid[j]
+            if unclaimed_j.sum() < 10:
+                continue
+            # epipolar gate: distance of kp_k to the line of kp_j under F_jk
+            F = fundamental_from_poses(jnp.asarray(K), jnp.asarray(Tj),
+                                       jnp.asarray(Tk))
+            uvj = jnp.concatenate([jnp.asarray(self.kf_kp_uv[j]),
+                                   jnp.ones((self.N, 1))], 1)
+            lines_k = uvj @ F.T                               # [Nj, 3]
+            uvk = self.kf_kp_uv[k]
+            num = (lines_k[:, None, 0] * uvk[None, :, 0]
+                   + lines_k[:, None, 1] * uvk[None, :, 1]
+                   + lines_k[:, None, 2]) ** 2
+            den = lines_k[:, 0:1] ** 2 + lines_k[:, 1:2] ** 2 + 1e-12
+            epi_ok = np.asarray(num / den) < CHI2_EPI * sig2_k[None, :]
+            desc_j = unpack_to_pm1(jnp.asarray(self.kf_desc[j]))
+            res = match_descriptors(
+                desc_j, desc_k, jnp.asarray(unclaimed_j),
+                jnp.asarray(unclaimed_k), jnp.asarray(epi_ok),
+                max_dist=50, ratio=0.8, mutual=True)
+            mj = np.asarray(res.idx)                          # kp_j -> kp_k
+            pair_j = np.nonzero(mj >= 0)[0]
+            if len(pair_j) == 0:
+                continue
+            pair_k = mj[pair_j]
+            Xw, z1 = triangulate_linear(
+                jnp.asarray(Tj), jnp.asarray(Tk), jnp.asarray(K),
+                jnp.asarray(self.kf_kp_uv[j][pair_j]),
+                jnp.asarray(uvk[pair_k]))
+            Xw = np.asarray(Xw)
+            z1 = np.asarray(z1)
+            # acceptance: positive depth both views, reprojection both views,
+            # parallax above ~0.36 deg
+            def cam(T, X):
+                return X @ T[:3, :3].T + T[:3, 3]
+            pk = cam(Tk, Xw)
+            ok = (z1 > 0) & (pk[:, 2] > 0)
+            for T_, uv_, sig_ in ((Tj, self.kf_kp_uv[j][pair_j],
+                                   1.2 ** (2.0 * self.kf_kp_level[j][pair_j])),
+                                  (Tk, uvk[pair_k],
+                                   sig2_k[pair_k])):
+                pc = cam(T_, Xw)
+                z = np.maximum(pc[:, 2], 1e-9)
+                pr = np.stack([K[0, 0] * pc[:, 0] / z + K[0, 2],
+                               K[1, 1] * pc[:, 1] / z + K[1, 2]], -1)
+                ok &= np.sum((pr - uv_) ** 2, -1) < CHI2_REPROJ * sig_
+            cj = -Tj[:3, :3].T @ Tj[:3, 3]
+            ck = -Tk[:3, :3].T @ Tk[:3, 3]
+            r1 = Xw - cj
+            r2 = Xw - ck
+            cosp = np.sum(r1 * r2, -1) / np.maximum(
+                np.linalg.norm(r1, axis=-1) * np.linalg.norm(r2, axis=-1),
+                1e-12)
+            ok &= cosp < 0.99998
+            idx = np.nonzero(ok)[0][: self.P - self.n_pt]
+            if len(idx) == 0:
+                continue
+            sl = np.arange(self.n_pt, self.n_pt + len(idx))
+            self.n_pt += len(idx)
+            self.pt_xyz[sl] = Xw[idx]
+            self.pt_valid[sl] = True
+            self.pt_desc[sl] = self.kf_desc[k][pair_k[idx]]
+            self.pt_desc_pm1[sl] = np.asarray(
+                unpack_to_pm1(jnp.asarray(self.kf_desc[k][pair_k[idx]])))
+            self.pt_obs_kf[sl, 0] = j
+            self.pt_obs_kp[sl, 0] = pair_j[idx]
+            self.pt_obs_kf[sl, 1] = k
+            self.pt_obs_kp[sl, 1] = pair_k[idx]
+            self.pt_obs_n[sl] = 2
+            self.pt_first_kf[sl] = k
+            unclaimed_k[pair_k[idx]] = False
+        self._update_covisibility(k)
 
     def _update_covisibility(self, k: int):
         """Covisibility edges for keyframe k from shared observations."""
@@ -459,8 +665,9 @@ class SlamSystem:
         """Full-map BA (the reference's RunGlobalBundleAdjustment after loop
         closure, System.h:208-210). All keyframes free except the first;
         points subsampled to the obs-richest `max_points` (static capacity
-        for the dense Schur build)."""
-        if self.n_kf < 3:
+        for the dense Schur build). Also used for the monocular two-view
+        seed refinement (n_kf == 2)."""
+        if self.n_kf < 2:
             return
         K = self.n_kf
         pt_sel = np.nonzero(self.pt_valid & (self.pt_obs_n >= 2))[0]
