@@ -115,7 +115,8 @@ def _mask_border(score: jnp.ndarray, margin: int) -> jnp.ndarray:
     return jnp.where(ok, score, 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("cell", "per_cell", "max_kp", "margin"))
+@functools.partial(jax.jit, static_argnames=(
+    "ini_threshold", "min_threshold", "cell", "per_cell", "max_kp", "margin"))
 def detect_fast_grid(
     img: jnp.ndarray,
     ini_threshold: float,
@@ -137,7 +138,16 @@ def detect_fast_grid(
     (iniThFAST/minThFAST fallback semantics).
     """
     H, W = img.shape
-    s_hi, s_lo = fast_score_two_thresholds(img, ini_threshold, min_threshold)
+    if jax.default_backend() == "tpu":
+        # Pallas strip kernel: bit-packed circle masks, all work in VMEM
+        # (see ops/fast_pallas.py); identical on the interior, and the
+        # margin mask below discards the border where they differ.
+        from semantic_slam_tpu.ops.fast_pallas import fast_scores_pallas
+        s_hi, s_lo = fast_scores_pallas(img, float(ini_threshold),
+                                        float(min_threshold))
+    else:
+        s_hi, s_lo = fast_score_two_thresholds(img, ini_threshold,
+                                               min_threshold)
     s_hi = _mask_border(nms3x3(s_hi), margin)
     s_lo = _mask_border(nms3x3(s_lo), margin)
 

@@ -131,9 +131,15 @@ def compute_descriptors(img: jnp.ndarray, uv: jnp.ndarray, valid: jnp.ndarray):
     bin_f = jnp.mod(angle, 2.0 * jnp.pi) / (2.0 * jnp.pi) * N_BINS
     bin_i = jnp.clip(jnp.round(bin_f).astype(jnp.int32) % N_BINS, 0, N_BINS - 1)
 
-    # all-bin sampling on the MXU, then per-keypoint bin selection
+    # all-bin sampling on the MXU, then per-keypoint bin selection.
+    # bf16 inputs + f32 accumulation: descriptors are internal-only bit
+    # comparisons (module docstring), and the ~30 GFLOP all-bins matmul is
+    # the single largest compute block of the front end — bf16 runs it at
+    # full MXU rate. Intensities <= 255 and bilinear weights in [0, 1] are
+    # represented to ~0.5 gray in bf16; only near-tie BRIEF bits can flip.
     S = jax.lax.dot_general(
-        patches, jnp.asarray(_SAMPLING_W),
+        patches.astype(jnp.bfloat16),
+        jnp.asarray(_SAMPLING_W, jnp.bfloat16),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)                  # [N, N_BINS*512]
     S = S.reshape(N, N_BINS, 2 * N_PAIRS)
@@ -170,15 +176,38 @@ class PyramidLevel(NamedTuple):
     scale: float           # cumulative scale: level coords * scale = level-0 coords
 
 
+@functools.lru_cache(maxsize=None)
+def _resize_matrix(n_out: int, n_in: int) -> np.ndarray:
+    """[n_out, n_in] antialiased bilinear interpolation matrix (half-pixel
+    centers, triangle kernel stretched by the downscale factor — the
+    jax.image.resize semantics, so the matmul pyramid is bit-compatible
+    with the gather-based resize it replaces)."""
+    scale = n_in / n_out
+    radius = max(scale, 1.0)
+    i = np.arange(n_out)[:, None]
+    j = np.arange(n_in)[None, :]
+    x = (i + 0.5) * scale - 0.5
+    w = np.maximum(0.0, 1.0 - np.abs(j - x) / radius)
+    return (w / w.sum(axis=1, keepdims=True)).astype(np.float32)
+
+
 def build_pyramid(img: jnp.ndarray, n_levels: int, scale_factor: float) -> List[PyramidLevel]:
-    """Bilinear-resize pyramid (XLA resize), static per-level shapes."""
+    """Bilinear pyramid with static per-level shapes.
+
+    Each level is produced by two small constant matmuls
+    (rows: [h_l, H] @ img, cols: @ [W, w_l]) — separable bilinear resize on
+    the MXU. A gather-based resize (jax.image.resize) costs ~3 ms/frame on
+    TPU for the 8-level 480x640 pyramid; this form is ~0.8 GFLOP of matmul,
+    i.e. noise."""
     H, W = img.shape
-    out = [PyramidLevel(img.astype(jnp.float32), 1.0)]
+    img = img.astype(jnp.float32)
+    out = [PyramidLevel(img, 1.0)]
     for lvl in range(1, n_levels):
         s = scale_factor ** lvl
         h, w = int(round(H / s)), int(round(W / s))
-        im = jax.image.resize(img.astype(jnp.float32), (h, w), method="bilinear")
-        out.append(PyramidLevel(im, s))
+        R = jnp.asarray(_resize_matrix(h, H))
+        C = jnp.asarray(_resize_matrix(w, W).T)
+        out.append(PyramidLevel(R @ img @ C, s))
     return out
 
 

@@ -44,14 +44,17 @@ def pose_optimize(
     w_valid: jnp.ndarray,    # [N] bool
     inv_sigma2: jnp.ndarray, # [N] per-obs information (1/sigma^2)
     *,
-    iters: int = 4,
+    iters: int = 2,
     rounds: int = 4,
 ) -> PoseOptResult:
     """Pose-only bundle adjustment on one camera.
 
     `rounds` outer rounds of `iters` GN steps; after each round observations
     with chi² > 5.991 are masked out (and can re-enter if they recover, like
-    ORB-SLAM2's PoseOptimization)."""
+    ORB-SLAM2's PoseOptimization). Two GN steps per round suffice from a
+    motion-model / keyframe initialization (quadratic convergence); the
+    sequential step chain is launch-latency-bound on TPU, so fewer, fatter
+    rounds are the right trade."""
 
     def residuals_jac(Tcw):
         pc = transform_points(Tcw[None], pts_w[None])[0]      # [N, 3]
