@@ -72,10 +72,32 @@ def main():
         engine = Engine(cats, cfg, detector=detector)
         kf_ids = m.valid_kf_indices()
         poses = np.asarray(m.kf_pose)
-        for idx, ((t, rgb, depth), k) in enumerate(zip(ds.stream(), kf_ids)):
-            depth = lattice_sparsify_depth(depth)   # ref :89-100 (3x4 lattice)
-            print(f"Processing keyframe {idx}/{len(kf_ids)}")
-            engine.run(rgb, depth, kf_id=int(k), Tcw=poses[k])
+        # pipeline: detection for keyframe i+1 runs in an AsyncDetector
+        # worker while the engine processes keyframe i (the reference's
+        # dormant MaskRCNN worker-queue mode, src/MaskRCNN.cpp:367-446,
+        # made operational)
+        from semantic_slam_tpu.semantic.detector import AsyncDetector
+
+        with AsyncDetector(detector, queue_size=2) as adet:
+            pending = 0
+            frames = []
+            for idx, ((t, rgb, depth), k) in enumerate(
+                    zip(ds.stream(), kf_ids)):
+                depth = lattice_sparsify_depth(depth)  # ref :89-100 lattice
+                adet.submit(rgb)
+                frames.append((rgb, depth, int(k)))
+                pending += 1
+                if pending >= 2:
+                    rgb0, depth0, k0 = frames.pop(0)
+                    pending -= 1
+                    print(f"Processing keyframe {k0}")
+                    engine.run(rgb0, depth0, kf_id=k0, Tcw=poses[k0],
+                               detections=adet.result())
+            while frames:
+                rgb0, depth0, k0 = frames.pop(0)
+                print(f"Processing keyframe {k0}")
+                engine.run(rgb0, depth0, kf_id=k0, Tcw=poses[k0],
+                           detections=adet.result())
 
     print("objects:", [f"{o['name']}({o['n_points']}pts,"
                        f"{o['observations']}obs)"

@@ -22,6 +22,8 @@ from __future__ import annotations
 import functools
 from typing import Tuple
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -46,10 +48,31 @@ def backproject_organized(depth: jnp.ndarray, intr: Intrinsics,
     return jnp.where(valid[..., None], pts, 0.0), valid
 
 
+@functools.lru_cache(maxsize=None)
+def _tri(n: int) -> np.ndarray:
+    """[n, n] lower-triangular ones (inclusive-prefix-sum matmul operand)."""
+    return np.tril(np.ones((n, n), np.float32))
+
+
 def _integral(img: jnp.ndarray) -> jnp.ndarray:
-    """2-D inclusive summed-area table with a zero row/col prepended."""
-    s = jnp.cumsum(jnp.cumsum(img, axis=0), axis=1)
-    return jnp.pad(s, ((1, 0), (1, 0)) + ((0, 0),) * (img.ndim - 2))
+    """2-D inclusive summed-area table with a zero row/col prepended.
+
+    Layout: CHANNELS-FIRST [C, H, W]. TPU tiles the last two axes to
+    (8, 128); a channels-last [H, W, 10] stack pads its 10-lane axis to
+    128 — a 12x memory blowup that dominated this op. With [C, H, W] the
+    tiled axes are the image axes and nothing is padded.
+
+    Prefix sums are lower-triangular MATMULS, not lax.cumsum: a cumulative
+    scan over the stack costs ~3 ms/axis on TPU, while the equivalent
+    [H,H] @ img @ [W,W]ᵀ triangular products are ~12 GFLOP of f32 MXU work.
+    Summation-order change vs sequential cumsum is within f32 SAT error
+    (already accepted by this design)."""
+    H, W = img.shape[-2], img.shape[-1]
+    tri_h = jnp.asarray(_tri(H))
+    tri_w = jnp.asarray(_tri(W))
+    s = jnp.einsum("hk,ckw->chw", tri_h, img)
+    s = jnp.einsum("chk,wk->chw", s, tri_w)
+    return jnp.pad(s, ((0, 0),) * (img.ndim - 2) + ((1, 0), (1, 0)))
 
 
 # Quantized window radii. Per-pixel metric radii are snapped to the nearest
@@ -62,30 +85,30 @@ _RADII = (1, 2, 3, 4, 6, 8, 12, 16, 24)
 def _box_sum(sat: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
     """Window sums with per-pixel radius r [H, W] snapped to _RADII.
 
-    sat is [H+1, W+1, C]; returns [H, W, C] sums over the clipped
+    sat is [C, H+1, W+1]; returns [C, H, W] sums over the clipped
     (2r'+1)x(2r'+1) window. Index clamping is emulated by edge-replicating
     the SAT (a clamped cumulative read equals the replicated edge value).
+    The per-pixel radius select accumulates masked terms instead of
+    materializing a [R, C, H, W] stack (memory-bound op; keep the live set
+    one radius wide).
     """
-    H = sat.shape[0] - 1
-    W = sat.shape[1] - 1
+    H = sat.shape[-2] - 1
+    W = sat.shape[-1] - 1
     rmax = _RADII[-1]
-    satp = jnp.pad(sat, ((rmax, rmax + 1), (rmax, rmax + 1), (0, 0)),
+    satp = jnp.pad(sat, ((0, 0), (rmax, rmax + 1), (rmax, rmax + 1)),
                    mode="edge")
-
-    def box_at(rr: int) -> jnp.ndarray:
-        # window [y-rr, y+rr] x [x-rr, x+rr]; SAT taps (y+rr+1, y-rr) etc.
-        a = rmax + rr + 1
-        b = rmax - rr
-        return (satp[a:a + H, a:a + W] - satp[b:b + H, a:a + W]
-                - satp[a:a + H, b:b + W] + satp[b:b + H, b:b + W])
-
-    stack = jnp.stack([box_at(rr) for rr in _RADII])      # [R, H, W, C]
     radii = jnp.asarray(_RADII, jnp.float32)
-    # nearest quantized radius per pixel
     sel = jnp.argmin(jnp.abs(r.astype(jnp.float32)[..., None]
                              - radii[None, None, :]), axis=-1)  # [H, W]
-    onehot = jax.nn.one_hot(sel, len(_RADII), dtype=sat.dtype)  # [H, W, R]
-    return jnp.einsum("rhwc,hwr->hwc", stack, onehot)
+
+    out = jnp.zeros((sat.shape[0], H, W), sat.dtype)
+    for i, rr in enumerate(_RADII):
+        a = rmax + rr + 1
+        b = rmax - rr
+        box = (satp[:, a:a + H, a:a + W] - satp[:, b:b + H, a:a + W]
+               - satp[:, a:a + H, b:b + W] + satp[:, b:b + H, b:b + W])
+        out = out + box * (sel == i)[None]
+    return out
 
 
 def _smallest_eigvec_3x3(C: jnp.ndarray) -> jnp.ndarray:
@@ -126,6 +149,51 @@ def _smallest_eigvec_3x3(C: jnp.ndarray) -> jnp.ndarray:
     return v
 
 
+def _smallest_eigvec_planes(cxx, cxy, cxz, cyy, cyz, czz):
+    """Plane-wise closed-form smallest eigenvector of a symmetric 3x3 field.
+
+    Same math as _smallest_eigvec_3x3 but on six [H, W] planes: tensors
+    with trailing (3,) / (3, 3) axes tile-pad those axes to (8, 128) on TPU
+    — a 40-100x memory blowup that dominated the normals stage. Everything
+    here is [H, W]-shaped VPU arithmetic. Returns (nx, ny, nz) planes."""
+    q = (cxx + cyy + czz) / 3.0
+    bxx, byy, bzz = cxx - q, cyy - q, czz - q
+    p2 = (bxx * bxx + byy * byy + bzz * bzz
+          + 2.0 * (cxy * cxy + cxz * cxz + cyz * cyz)) / 6.0
+    p = jnp.sqrt(jnp.maximum(p2, 1e-20))
+    det_b = (bxx * (byy * bzz - cyz * cyz)
+             - cxy * (cxy * bzz - cyz * cxz)
+             + cxz * (cxy * cyz - byy * cxz)) / (p * p * p)
+    r = jnp.clip(det_b / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    eig3 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)   # smallest
+
+    axx, ayy, azz = cxx - eig3, cyy - eig3, czz - eig3
+    # rows of (C - eig3 I): r0=(axx,cxy,cxz) r1=(cxy,ayy,cyz) r2=(cxz,cyz,azz)
+    def cross(a0, a1, a2, b0, b1, b2):
+        return (a1 * b2 - a2 * b1, a2 * b0 - a0 * b2, a0 * b1 - a1 * b0)
+
+    c01 = cross(axx, cxy, cxz, cxy, ayy, cyz)
+    c02 = cross(axx, cxy, cxz, cxz, cyz, azz)
+    c12 = cross(cxy, ayy, cyz, cxz, cyz, azz)
+    n01 = c01[0] ** 2 + c01[1] ** 2 + c01[2] ** 2
+    n02 = c02[0] ** 2 + c02[1] ** 2 + c02[2] ** 2
+    n12 = c12[0] ** 2 + c12[1] ** 2 + c12[2] ** 2
+    pick01 = (n01 >= n02) & (n01 >= n12)
+    pick02 = ~pick01 & (n02 >= n12)
+    comps = []
+    for k in range(3):
+        v = jnp.where(pick01, c01[k], jnp.where(pick02, c02[k], c12[k]))
+        comps.append(v)
+    nrm2 = comps[0] ** 2 + comps[1] ** 2 + comps[2] ** 2
+    inv = jax.lax.rsqrt(jnp.maximum(nrm2, 1e-24))
+    degen = nrm2 <= 1e-20
+    nx = jnp.where(degen, 0.0, comps[0] * inv)
+    ny = jnp.where(degen, 0.0, comps[1] * inv)
+    nz = jnp.where(degen, 1.0, comps[2] * inv)
+    return nx, ny, nz
+
+
 @functools.partial(jax.jit, static_argnames=("max_radius_px", "min_count"))
 def organized_normals(pts: jnp.ndarray, valid: jnp.ndarray,
                       radius_m: float | jnp.ndarray, fx: jnp.ndarray,
@@ -141,36 +209,42 @@ def organized_normals(pts: jnp.ndarray, valid: jnp.ndarray,
     r = jnp.clip(r_px.astype(jnp.int32), 1, max_radius_px)
 
     v = valid.astype(pts.dtype)
-    first = pts * v[..., None]                              # x, y, z
-    x, y, zz = first[..., 0], first[..., 1], first[..., 2]
-    second = jnp.stack([x * x, x * y, x * zz, y * y, y * zz, zz * zz], -1)
-    stacked = jnp.concatenate([first, second, v[..., None]], axis=-1)  # [H,W,10]
-    sums = _box_sum(_integral(stacked), r)                  # [H, W, 10]
+    # center by the global cloud mean before forming moments: covariance is
+    # translation-invariant, and the smaller coordinate magnitudes cut the
+    # f32 cancellation error of the E[ppᵀ] − μμᵀ subtraction ~100x (flat
+    # surfaces otherwise pick up spurious DoN magnitude)
+    tot = jnp.maximum(jnp.sum(v), 1.0)
+    gx = jnp.sum(pts[..., 0] * v) / tot
+    gy = jnp.sum(pts[..., 1] * v) / tot
+    gz = jnp.sum(pts[..., 2] * v) / tot
+    x = (pts[..., 0] - gx) * v
+    y = (pts[..., 1] - gy) * v
+    zz = (pts[..., 2] - gz) * v
+    # channels-first [10, H, W] — see _integral docstring for why
+    stacked = jnp.stack([x, y, zz, x * x, x * y, x * zz, y * y, y * zz,
+                         zz * zz, v], 0)
+    sums = _box_sum(_integral(stacked), r)                  # [10, H, W]
 
-    n = sums[..., 9]
-    mean = sums[..., 0:3] / jnp.maximum(n[..., None], 1.0)
-    # covariance = E[pp^T] - mean mean^T
-    exx, exy, exz = sums[..., 3], sums[..., 4], sums[..., 5]
-    eyy, eyz, ezz = sums[..., 6], sums[..., 7], sums[..., 8]
+    n = sums[9]
     ns = jnp.maximum(n, 1.0)
-    mx, my, mz = mean[..., 0], mean[..., 1], mean[..., 2]
+    mx, my, mz = sums[0] / ns, sums[1] / ns, sums[2] / ns
+    # covariance = E[pp^T] - mean mean^T
+    exx, exy, exz = sums[3], sums[4], sums[5]
+    eyy, eyz, ezz = sums[6], sums[7], sums[8]
     cxx = exx / ns - mx * mx
     cxy = exy / ns - mx * my
     cxz = exz / ns - mx * mz
     cyy = eyy / ns - my * my
     cyz = eyz / ns - my * mz
     czz = ezz / ns - mz * mz
-    C = jnp.stack([
-        jnp.stack([cxx, cxy, cxz], -1),
-        jnp.stack([cxy, cyy, cyz], -1),
-        jnp.stack([cxz, cyz, czz], -1)], -2)                # [H, W, 3, 3]
-
-    normal = _smallest_eigvec_3x3(C)
+    nx, ny, nz = _smallest_eigvec_planes(cxx, cxy, cxz, cyy, cyz, czz)
     # viewpoint at +infinity: flip so nx+ny+nz >= 0
-    flip = jnp.sum(normal, axis=-1, keepdims=True) < 0
-    normal = jnp.where(flip, -normal, normal)
+    flip = (nx + ny + nz) < 0
+    sign = jnp.where(flip, -1.0, 1.0)
     ok = valid & (n >= min_count)
-    return jnp.where(ok[..., None], normal, 0.0), ok
+    keep = ok.astype(nx.dtype) * sign
+    # single channels-last stack at the API boundary only
+    return jnp.stack([nx * keep, ny * keep, nz * keep], -1), ok
 
 
 @functools.partial(jax.jit, static_argnames=("max_radius_px",))

@@ -114,3 +114,63 @@ class MaskRCNNDetector:
         keep = scores >= self.score_threshold
         return pad_detections(boxes[keep], masks[keep], labels[keep],
                               scores[keep], self.max_masks)
+
+
+class AsyncDetector:
+    """Worker-thread detection pipeline (in-order results).
+
+    Parity with the reference's (dormant) MaskRCNN worker-queue mode —
+    ``InsertImage`` enqueues a frame, a ``Run()`` thread drains the queue
+    through the model, results are consumed in submission order
+    (``src/MaskRCNN.cpp:367-446``, queue + mMutexNewImages). Here the queue
+    is bounded and deterministic: ``submit()`` blocks when `queue_size`
+    frames are in flight, ``result()`` blocks until the oldest submitted
+    frame is done — so a driver can run detection for keyframe i+1 while
+    the engine processes keyframe i.
+    """
+
+    def __init__(self, detector, queue_size: int = 2):
+        import queue
+        import threading
+
+        self._detector = detector
+        self._in: "queue.Queue" = queue.Queue(maxsize=max(1, queue_size))
+        self._out: "queue.Queue" = queue.Queue()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    # --- worker (the reference's Run() loop) ----------------------------
+    def _run(self):
+        while True:
+            item = self._in.get()
+            if item is None:
+                return
+            args, kwargs = item
+            try:
+                self._out.put(("ok", self._detector.predict(*args, **kwargs)))
+            except Exception as e:  # surfaced on result()
+                self._out.put(("err", e))
+
+    # --- client API ------------------------------------------------------
+    def submit(self, *args, **kwargs):
+        """Enqueue one frame (InsertImage). Blocks when the queue is full."""
+        self._in.put((args, kwargs))
+
+    def result(self) -> Detections:
+        """Detections of the oldest submitted frame (blocks until ready)."""
+        status, payload = self._out.get()
+        if status == "err":
+            raise payload
+        return payload
+
+    def close(self):
+        """Stop the worker (SetFinish/isFinished protocol equivalent)."""
+        if self._thread.is_alive():
+            self._in.put(None)
+            self._thread.join()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

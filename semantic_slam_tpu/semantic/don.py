@@ -56,7 +56,14 @@ def don_extract(depth: jnp.ndarray, intr: Intrinsics, scale1: float,
     pts, valid = backproject_organized(depth, intr, sensor)
     _, mag, ok = don_field(pts, valid, intr.fx, scale1, scale2)
     keep = ok & (mag > threshold)          # "curvature" GT filter, DoN.cpp:226-239
-    labels = connected_components(pts, keep, segradius)
+    if jax.default_backend() == "tpu":
+        # in-VMEM Pallas flood (ops/cluster_pallas.py): ~3x the XLA
+        # segmented-scan path, identical labels
+        from semantic_slam_tpu.ops.cluster_pallas import (
+            connected_components_pallas)
+        labels = connected_components_pallas(pts, keep, segradius)
+    else:
+        labels = connected_components(pts, keep, segradius)
     cid, sizes, n = compact_labels(labels, min_size=min_cluster,
                                    max_size=max_cluster,
                                    max_clusters=max_clusters)
