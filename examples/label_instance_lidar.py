@@ -105,10 +105,18 @@ def main():
         poses = np.asarray(m.kf_pose)
         for idx, k in enumerate(m.valid_kf_indices()):
             fid = int(fids[idx])
-            scan = read_velodyne_bin(os.path.join(
-                args.dataset, "velodyne", f"{fid:06d}.bin"))
-            rng_img = velodyne_to_range_image(
-                scan, Tr, K, width=cfg.camera.width, height=cfg.camera.height)
+            bin_path = os.path.join(args.dataset, "velodyne",
+                                    f"{fid:06d}.bin")
+            # native C++ projection when built (read + transform + z-buffer
+            # in one pass, reference Utility.cpp:374-419); NumPy fallback
+            from semantic_slam_tpu.io import native
+            rng_img = native.velodyne_range_image(
+                bin_path, Tr, K, cfg.camera.width, cfg.camera.height)
+            if rng_img is None:
+                scan = read_velodyne_bin(bin_path)
+                rng_img = velodyne_to_range_image(
+                    scan, Tr, K, width=cfg.camera.width,
+                    height=cfg.camera.height)
             if args.ground_removal:
                 rng_img = angle_ground_removal(rng_img, K)
             rgb_path = os.path.join(args.dataset, "image_2", f"{fid:06d}.png")

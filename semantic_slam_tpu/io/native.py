@@ -93,6 +93,14 @@ def _load():
                                     ctypes.c_void_p]
     lib.ssn_loader_next.restype = ctypes.c_int
     lib.ssn_loader_close.argtypes = [ctypes.c_void_p]
+    lib.ssn_velodyne_range_image.argtypes = [
+        ctypes.c_char_p,
+        np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),  # Tr [3,4]
+        np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),  # K fx,fy,cx,cy
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_float,
+        np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),  # out [H*W]
+    ]
+    lib.ssn_velodyne_range_image.restype = ctypes.c_int64
     _LIB = lib
     return _LIB
 
@@ -199,6 +207,25 @@ def write_png(path: str, img: np.ndarray) -> bool:
     from PIL import Image
     Image.fromarray(img).save(path)
     return True
+
+
+def velodyne_range_image(path: str, Tr_velo_to_cam: np.ndarray,
+                         K: np.ndarray, width: int, height: int,
+                         min_z: float = 0.5) -> Optional[np.ndarray]:
+    """Native KITTI .bin -> z-buffered camera range image (reference
+    ``src/Utility.cpp:374-419,452-496`` semantics). None when the native
+    library is absent or the scan can't be read — callers fall back to
+    ``io.datasets.velodyne_to_range_image``."""
+    lib = _load()
+    if lib is None:
+        return None
+    Tr = np.ascontiguousarray(np.asarray(Tr_velo_to_cam,
+                                         np.float32)[:3, :4])
+    k4 = np.array([K[0, 0], K[1, 1], K[0, 2], K[1, 2]], np.float32)
+    out = np.zeros((height, width), np.float32)
+    n = lib.ssn_velodyne_range_image(path.encode(), Tr, k4, width, height,
+                                     min_z, out.reshape(-1))
+    return out if n >= 0 else None
 
 
 # ---------------------------------------------------------------------------

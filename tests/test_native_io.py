@@ -201,3 +201,25 @@ def test_tum_dataset_stream_uses_loader(native_lib, tmp_path):
         assert t == t0
         np.testing.assert_array_equal(rgb, rgb0)
         np.testing.assert_allclose(dep, dep0, rtol=1e-6)
+
+
+def test_velodyne_range_image_matches_numpy(native_lib, tmp_path):
+    from semantic_slam_tpu.io.datasets import velodyne_to_range_image
+
+    rng = np.random.default_rng(10)
+    scan = np.zeros((500, 4), np.float32)
+    scan[:, 0] = rng.uniform(2.0, 30.0, 500)     # forward (velodyne x)
+    scan[:, 1] = rng.uniform(-8.0, 8.0, 500)
+    scan[:, 2] = rng.uniform(-2.0, 1.0, 500)
+    p = str(tmp_path / "scan.bin")
+    scan.tofile(p)
+    # velodyne->cam: x_cam = -y_v, y_cam = -z_v, z_cam = x_v
+    Tr = np.array([[0, -1, 0, 0.05],
+                   [0, 0, -1, -0.03],
+                   [1, 0, 0, 0.1]], np.float32)
+    K = np.array([[700.0, 0, 600], [0, 700.0, 180], [0, 0, 1]], np.float32)
+    W, H = 1242, 375
+    ref = velodyne_to_range_image(scan, Tr, K, width=W, height=H)
+    got = native_lib.velodyne_range_image(p, Tr, K, W, H)
+    assert got is not None
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
