@@ -27,19 +27,24 @@ def _sync(x):
     return np.asarray(x.ravel()[0])
 
 
-def _timeit(fn, warmup: int = 2, iters: int = 10) -> float:
+def _timeit(fn, warmup: int = 2, iters: int = 10, batches: int = 3) -> float:
     """fn() must return a device array. Queues `iters` async dispatches and
     syncs once at the end — measures amortized device execution time (one
-    ~30 ms tunnel readback amortized over the batch)."""
+    ~30 ms tunnel readback amortized over the batch). Takes the best of
+    `batches` batches: tunnel jitter only ever adds time, so the minimum is
+    the stable estimator (headline varied ±15% run-to-run without this)."""
     out = None
     for _ in range(warmup):
         out = fn()
     _sync(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn()
-    _sync(out)
-    return (time.perf_counter() - t0) / iters
+    best = float("inf")
+    for _ in range(batches):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn()
+        _sync(out)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
 
 
 def main():
