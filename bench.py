@@ -27,12 +27,17 @@ def _sync(x):
     return np.asarray(x.ravel()[0])
 
 
-def _timeit(fn, warmup: int = 2, iters: int = 10, batches: int = 3) -> float:
+def _timeit(fn, warmup: int = 2, iters: int = 100, batches: int = 3) -> float:
     """fn() must return a device array. Queues `iters` async dispatches and
     syncs once at the end — measures amortized device execution time (one
     ~30 ms tunnel readback amortized over the batch). Takes the best of
     `batches` batches: tunnel jitter only ever adds time, so the minimum is
-    the stable estimator (headline varied ±15% run-to-run without this)."""
+    the stable estimator (headline varied ±15% run-to-run without this).
+
+    iters must be large: the tunnel's dispatch pipeline only saturates past
+    ~50 queued calls (measured floor: 2.6 ms/call at depth 10 -> 0.75 ms at
+    depth 50 for an empty kernel). Shallow batches measure dispatch, not the
+    device."""
     out = None
     for _ in range(warmup):
         out = fn()
@@ -54,11 +59,10 @@ def main():
     from semantic_slam_tpu.config import SlamConfig, OrbConfig
     from semantic_slam_tpu.geometry import Intrinsics
     from semantic_slam_tpu.io import synth
-    from semantic_slam_tpu.ops.orb import extract_orb
     from semantic_slam_tpu.ops.match import hamming_matrix
     from semantic_slam_tpu.ops.tsdf import TsdfVolume, tsdf_integrate
     from semantic_slam_tpu.semantic.don import don_extract
-    from semantic_slam_tpu.slam.tracking import track_with_map
+    from semantic_slam_tpu.slam.tracking import track_frame
 
     # absorb one-time transport setup (first host readback through a remote
     # TPU tunnel can take minutes) before any timing begins
@@ -80,10 +84,8 @@ def main():
     Tcw = jnp.eye(4)
 
     def track_step():
-        feats = extract_orb(img, orb_cfg)
-        res = track_with_map(intr, Tcw, pt_xyz, pt_desc, pt_valid,
-                             feats.uv, feats.desc_pm1, feats.valid,
-                             feats.level, cam.width, cam.height)
+        _, res = track_frame(intr, Tcw, pt_xyz, pt_desc, pt_valid,
+                             img, orb_cfg, cam.width, cam.height)
         return res.Tcw
 
     dt = _timeit(track_step)
@@ -107,14 +109,14 @@ def main():
             voxel_size=0.004, trunc_margin=0.02, block=8, max_mixed=1024)
         return state["vol"].tsdf
 
-    dt_tsdf = _timeit(tsdf_step, warmup=2, iters=20)
+    dt_tsdf = _timeit(tsdf_step, warmup=2, iters=100)
     details["tsdf_mvoxels_per_s"] = 200 ** 3 / dt_tsdf / 1e6
 
     # ---- DoN segmentation -------------------------------------------------
     def don_step():
         return don_extract(bdepth_j, intr, 0.05, 0.5, 0.1, 0.05).cluster_id
 
-    details["don_fps"] = 1.0 / _timeit(don_step, warmup=2, iters=5)
+    details["don_fps"] = 1.0 / _timeit(don_step, warmup=2, iters=60)
 
     # ---- Hamming matcher rate --------------------------------------------
     d1 = jnp.asarray(rs.randint(0, 2, (1024, 256)).astype(np.int8) * 2 - 1)
@@ -155,7 +157,7 @@ def main():
         params = model.init(jax.random.PRNGKey(0), mimg)
         infer = jax.jit(lambda p, im: model.apply(p, im)["scores"])
         details["maskrcnn_fps_256x320"] = 1.0 / _timeit(
-            lambda: infer(params, mimg), warmup=1, iters=5)
+            lambda: infer(params, mimg), warmup=1, iters=60)
     except Exception as e:  # keep the headline metric robust
         details["maskrcnn_error"] = str(e)[:200]
     with open("bench_details.json", "w") as f:

@@ -196,6 +196,39 @@ def track_with_map(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("orb_cfg", "width", "height",
+                                              "radius", "max_dist",
+                                              "max_candidates"))
+def track_frame(
+    intr: Intrinsics,
+    Tcw_pred: jnp.ndarray,     # [4, 4]
+    pt_xyz: jnp.ndarray,       # [P, 3]
+    pt_desc_pm1: jnp.ndarray,  # [P, 256] int8
+    pt_valid: jnp.ndarray,     # [P] bool
+    img: jnp.ndarray,          # [H, W] grayscale f32
+    orb_cfg,
+    width: int = 640,
+    height: int = 480,
+    *,
+    radius: float = 15.0,
+    max_dist: int = 75,
+    max_candidates: int = 4096,
+):
+    """Fused per-frame program: ORB extraction + search-by-projection + pose
+    GN in ONE compiled call. The reference pays a thread handoff between
+    `ORBextractor` and `Tracking` per frame (System.cc:213); two separate jit
+    calls pay a device dispatch each (~0.5-1 ms through a remote transport)
+    — fusing removes the boundary and lets XLA overlap the pyramid with the
+    map projection. Returns (features, TrackResult)."""
+    from semantic_slam_tpu.ops.orb import extract_orb  # local: avoid cycle
+    feats = extract_orb(img, orb_cfg)
+    res = track_with_map(intr, Tcw_pred, pt_xyz, pt_desc_pm1, pt_valid,
+                         feats.uv, feats.desc_pm1, feats.valid, feats.level,
+                         width, height, radius=radius, max_dist=max_dist,
+                         max_candidates=max_candidates)
+    return feats, res
+
+
 def need_keyframe(n_inliers: int, n_ref_inliers: int, frames_since_kf: int,
                   *, min_inliers: int = 30, ratio: float = 0.75,
                   max_gap: int = 30) -> bool:
