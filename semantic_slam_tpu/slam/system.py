@@ -35,7 +35,8 @@ from semantic_slam_tpu.geometry.se3 import se3_inverse, orthonormalize_pose
 from semantic_slam_tpu.io import mapio
 from semantic_slam_tpu.slam.ba import BAProblem, bundle_adjust
 from semantic_slam_tpu.slam.map import MapArrays
-from semantic_slam_tpu.slam.tracking import track_with_map, need_keyframe
+from semantic_slam_tpu.slam.tracking import (track_with_map, track_rgbd_frame,
+                                             need_keyframe)
 from semantic_slam_tpu.ops.orb import extract_orb, unpack_to_pm1
 
 CHI2_EPI = 3.841      # 1-DoF epipolar-line transfer gate
@@ -112,13 +113,97 @@ class SlamSystem:
         self.kf_timestamps: List[float] = []
         self.stats = {"n_tracked": [], "n_inliers": []}
 
+        # device-resident map cache for the fast RGB-D path: re-uploaded
+        # only when the map mutates (keyframe insertion / BA / culling /
+        # loop correction), never per frame
+        self._map_version = 0
+        self._dev_map = None
+        self._dev_map_version = -1
+
+    # ------------------------------------------------------------------
+    # device-map cache
+    # ------------------------------------------------------------------
+
+    def _touch_map(self):
+        """Mark the map mutated (invalidates the device-resident copy)."""
+        self._map_version += 1
+
+    def _device_map(self):
+        """Device copies of (pt_xyz, pt_desc_pm1, pt_valid), cached across
+        frames. Fresh per-call uploads are the reference pattern's silent
+        cost; the map only changes at keyframe rate."""
+        if self._dev_map is None or self._dev_map_version != self._map_version:
+            self._dev_map = (jnp.asarray(self.pt_xyz),
+                             jnp.asarray(self.pt_desc_pm1),
+                             jnp.asarray(self.pt_valid))
+            self._dev_map_version = self._map_version
+        return self._dev_map
+
+    @staticmethod
+    def _inv_np(T: np.ndarray) -> np.ndarray:
+        """SE(3) inverse on host (no device round-trip for a 4x4)."""
+        R = T[:3, :3]
+        out = np.eye(4, dtype=np.float32)
+        out[:3, :3] = R.T
+        out[:3, 3] = -R.T @ T[:3, 3]
+        return out
+
     # ------------------------------------------------------------------
     # public API (System.h:73-174 parity)
     # ------------------------------------------------------------------
 
     def track_rgbd(self, gray: np.ndarray, depth: np.ndarray,
                    timestamp: float = 0.0) -> np.ndarray:
-        """Track one RGB-D frame (image path). Returns Tcw [4,4]."""
+        """Track one RGB-D frame (image path). Returns Tcw [4,4].
+
+        While tracking is OK this runs the fused device program
+        (``track_rgbd_frame``): ORB extraction, depth sampling, matching and
+        pose GN in one compiled call with a single packed readback.
+        Descriptors are read back only on keyframe/relocalization frames.
+        Initialization and LOST recovery fall back to the generic
+        feature-path below."""
+        if self.state != "OK" or self.mono:
+            return self._track_rgbd_generic(gray, depth, timestamp)
+
+        cam = self.cfg.camera
+        Tcw_pred = (self.velocity @ self.Tcw).astype(np.float32)
+        pt_xyz_d, pt_desc_d, pt_valid_d = self._device_map()
+        pack, desc_u8_d, desc_pm1_d = track_rgbd_frame(
+            self.intr, jnp.asarray(Tcw_pred), pt_xyz_d, pt_desc_d,
+            pt_valid_d, jnp.asarray(gray, jnp.float32),
+            jnp.asarray(depth, jnp.float32), self.cfg.orb,
+            cam.width, cam.height, radius=15.0, max_dist=75)
+        pk = np.asarray(pack)                       # the one readback
+        Tcw_new = pk[:16].reshape(4, 4).astype(np.float32)
+        n_match = int(pk[16])
+        n_inl = int(pk[17])
+        Nf = (len(pk) - 18) // 7
+        col = lambda i: pk[18 + i * Nf: 18 + (i + 1) * Nf]
+        match_pt = col(0).astype(np.int32)
+        inlier_kp = col(1) > 0.5
+
+        def get_fi() -> FrameInput:
+            # materialize full features on host — keyframe/reloc frames only
+            uv = np.stack([col(2), col(3)], -1).astype(np.float32)
+            return self._pad_frame(FrameInput(
+                uv=uv, level=col(4).astype(np.int32),
+                desc_u8=np.asarray(desc_u8_d),
+                desc_pm1=np.asarray(desc_pm1_d),
+                valid=col(6) > 0.5, depth=col(5).astype(np.float32),
+                timestamp=timestamp))
+
+        pad = self.N - Nf
+        if pad > 0:
+            match_pt = np.concatenate([match_pt, np.full(pad, -1, np.int32)])
+            inlier_kp = np.concatenate([inlier_kp, np.zeros(pad, bool)])
+        self._post_track(Tcw_pred, Tcw_new, n_match, n_inl,
+                         match_pt, inlier_kp, get_fi)
+        self.frame_count += 1
+        self.trajectory.append((timestamp, self.Tcw.copy()))
+        return self.Tcw.copy()
+
+    def _track_rgbd_generic(self, gray: np.ndarray, depth: np.ndarray,
+                            timestamp: float = 0.0) -> np.ndarray:
         feats = extract_orb(jnp.asarray(gray, jnp.float32), self.cfg.orb)
         uv = np.asarray(feats.uv)
         xi = np.clip(uv[:, 0].astype(int), 0, depth.shape[1] - 1)
@@ -339,22 +424,37 @@ class SlamSystem:
 
     def _track(self, fi: FrameInput):
         Tcw_pred = (self.velocity @ self.Tcw).astype(np.float32)
+        pt_xyz_d, pt_desc_d, pt_valid_d = self._device_map()
         res = track_with_map(
             self.intr, jnp.asarray(Tcw_pred),
-            jnp.asarray(self.pt_xyz), jnp.asarray(self.pt_desc_pm1),
-            jnp.asarray(self.pt_valid),
+            pt_xyz_d, pt_desc_d, pt_valid_d,
             jnp.asarray(fi.uv), jnp.asarray(fi.desc_pm1),
             jnp.asarray(fi.valid), jnp.asarray(fi.level),
             self.cfg.camera.width, self.cfg.camera.height,
             radius=15.0, max_dist=75)
-        n_inl = int(res.n_inliers)
-        self.stats["n_tracked"].append(int(res.n_matches))
+        Tcw_new, n_match, n_inl, match_pt, inlier_kp = jax.device_get(
+            (res.Tcw, res.n_matches, res.n_inliers,
+             res.match_pt, res.inlier_kp))
+        self._post_track(Tcw_pred, np.asarray(Tcw_new, np.float32),
+                         int(n_match), int(n_inl),
+                         np.asarray(match_pt), np.asarray(inlier_kp),
+                         lambda: fi)
+
+    def _post_track(self, Tcw_pred: np.ndarray, Tcw_new: np.ndarray,
+                    n_match: int, n_inl: int, match_pt: np.ndarray,
+                    inlier_kp: np.ndarray, get_fi) -> None:
+        """Host-side orchestration after the per-frame device program:
+        lost/relocalization handling, motion model, found-counter
+        bookkeeping, keyframe decision + mapping. `get_fi` materializes the
+        frame's features lazily (the fast RGB-D path only reads descriptors
+        back on the frames that need them)."""
+        self.stats["n_tracked"].append(n_match)
         self.stats["n_inliers"].append(n_inl)
         if n_inl < 10:
             # lost: try BoW relocalization when place recognition is attached
             # (Tracking::Relocalization parity); otherwise coast on the
             # prediction with the LOST flag set.
-            if self._relocalize(fi):
+            if self._relocalize(get_fi()):
                 self.frames_since_kf += 1
                 return
             self.state = "LOST"
@@ -363,21 +463,18 @@ class SlamSystem:
             self.frames_since_kf += 1
             return
         self.state = "OK"
-        Tcw_new = np.asarray(res.Tcw)
-        self.velocity = (Tcw_new @ np.asarray(
-            se3_inverse(jnp.asarray(self.Tcw)))).astype(np.float32)
+        self.velocity = (Tcw_new @ self._inv_np(self.Tcw)).astype(np.float32)
         self.Tcw = Tcw_new
         self.frames_since_kf += 1
 
         # bookkeeping for culling
-        match_pt = np.asarray(res.match_pt)
-        inlier_kp = np.asarray(res.inlier_kp)
         matched_pts = match_pt[(match_pt >= 0) & inlier_kp]
         self.pt_found[matched_pts] += 1
 
         if need_keyframe(n_inl, self.ref_kf_inliers, self.frames_since_kf,
                          min_inliers=30, ratio=0.75, max_gap=20):
-            kf = self._insert_keyframe(fi, match_pt=match_pt, inlier_kp=inlier_kp)
+            kf = self._insert_keyframe(get_fi(), match_pt=match_pt,
+                                       inlier_kp=inlier_kp)
             self.last_kf_id = kf
             self.frames_since_kf = 0
             self.ref_kf_inliers = n_inl
@@ -389,6 +486,7 @@ class SlamSystem:
                 closed = self._loop_closer.on_keyframe(kf)
                 if closed is not None and getattr(self, "_loop_run_gba", False):
                     self.global_bundle_adjust()
+            self._touch_map()
 
     # --- keyframe insertion / map growth --------------------------------
 
@@ -440,7 +538,7 @@ class SlamSystem:
             x = (uv[:, 0] - cam.cx) / cam.fx * d
             y = (uv[:, 1] - cam.cy) / cam.fy * d
             pc = np.stack([x, y, d], -1)
-            Twc = np.asarray(se3_inverse(jnp.asarray(self.Tcw)))
+            Twc = self._inv_np(self.Tcw)
             pw = pc @ Twc[:3, :3].T + Twc[:3, 3]
             sl = np.arange(self.n_pt, self.n_pt + len(idxs))
             self.n_pt += len(idxs)
@@ -458,6 +556,7 @@ class SlamSystem:
             from semantic_slam_tpu.ops.orb import unpack_to_pm1
             d = np.asarray(unpack_to_pm1(jnp.asarray(fi.desc_u8)))
             self._kfdb.add(k, d, fi.valid)
+        self._touch_map()
         return k
 
     def _claimed_keypoints(self, k: int) -> np.ndarray:
@@ -659,6 +758,7 @@ class SlamSystem:
         self.pt_xyz[pt_sel] = new_xyz[: len(pt_sel)]
         # current pose rides along with the newest keyframe
         self.Tcw = self.kf_pose[k_new].copy()
+        self._touch_map()
 
     def global_bundle_adjust(self, iters: int = 10, max_points: int = 4096,
                              max_obs: int = 8):
@@ -706,6 +806,7 @@ class SlamSystem:
         self.kf_pose[:K] = np.asarray(res.kf_pose)[:K]
         self.pt_xyz[pt_sel] = np.asarray(res.pt_xyz)[: len(pt_sel)]
         self.Tcw = self.kf_pose[self.n_kf - 1].copy()
+        self._touch_map()
 
     # --- point culling (ORB-SLAM2 MapPointCulling semantics) -------------
 
@@ -715,6 +816,7 @@ class SlamSystem:
         # a point must gather >= 2 keyframe observations within 3 keyframes
         weak = self.pt_valid & (age >= 3) & (self.pt_obs_n < 2)
         self.pt_valid[weak] = False
+        self._touch_map()
 
     # ------------------------------------------------------------------
     # exporters (reference format parity)

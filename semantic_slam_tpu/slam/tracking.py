@@ -229,6 +229,72 @@ def track_frame(
     return feats, res
 
 
+@functools.partial(jax.jit, static_argnames=("orb_cfg", "width", "height",
+                                              "radius", "max_dist",
+                                              "max_candidates"))
+def track_rgbd_frame(
+    intr: Intrinsics,
+    Tcw_pred: jnp.ndarray,     # [4, 4]
+    pt_xyz: jnp.ndarray,       # [P, 3]
+    pt_desc_pm1: jnp.ndarray,  # [P, 256] int8
+    pt_valid: jnp.ndarray,     # [P] bool
+    img: jnp.ndarray,          # [H, W] grayscale f32
+    depth: jnp.ndarray,        # [H, W] metric depth f32
+    orb_cfg,
+    width: int = 640,
+    height: int = 480,
+    *,
+    radius: float = 15.0,
+    max_dist: int = 75,
+    max_candidates: int = 4096,
+):
+    """RGB-D per-frame program with a single packed host readback.
+
+    Through a remote transport every host readback costs ~30 ms of latency;
+    the naive driver loop (read back uv, depth samples, pose, counters,
+    match tables separately) pays it ~8x per frame. This variant runs the
+    whole frame on device — ORB extraction, per-keypoint depth sampling,
+    projection matching, pose GN — and packs everything the host-side
+    orchestrator needs into ONE f32 vector:
+
+      pack[0:16]        Tcw (row-major)
+      pack[16]          n_matches
+      pack[17]          n_inliers
+      pack[18+0N:18+1N] match_pt   (map slot per keypoint, -1 = none)
+      pack[18+1N:18+2N] inlier_kp  (0/1)
+      pack[18+2N:18+3N] u
+      pack[18+3N:18+4N] v
+      pack[18+4N:18+5N] level
+      pack[18+5N:18+6N] depth at keypoint
+      pack[18+6N:18+7N] valid      (0/1)
+
+    Descriptors (only needed on the rare keyframe-insertion frames) are
+    returned as device arrays and read back lazily by the caller.
+    Returns (pack [18+7N] f32, desc_u8 [N,32], desc_pm1 [N,256])."""
+    from semantic_slam_tpu.ops.orb import extract_orb  # local: avoid cycle
+    feats = extract_orb(img, orb_cfg)
+    res = track_with_map(intr, Tcw_pred, pt_xyz, pt_desc_pm1, pt_valid,
+                         feats.uv, feats.desc_pm1, feats.valid, feats.level,
+                         width, height, radius=radius, max_dist=max_dist,
+                         max_candidates=max_candidates)
+    xi = jnp.clip(feats.uv[:, 0].astype(jnp.int32), 0, width - 1)
+    yi = jnp.clip(feats.uv[:, 1].astype(jnp.int32), 0, height - 1)
+    kp_depth = depth[yi, xi]
+    f32 = jnp.float32
+    pack = jnp.concatenate([
+        res.Tcw.reshape(-1).astype(f32),
+        jnp.stack([res.n_matches.astype(f32), res.n_inliers.astype(f32)]),
+        res.match_pt.astype(f32),
+        res.inlier_kp.astype(f32),
+        feats.uv[:, 0].astype(f32),
+        feats.uv[:, 1].astype(f32),
+        feats.level.astype(f32),
+        kp_depth.astype(f32),
+        feats.valid.astype(f32),
+    ])
+    return pack, feats.desc_u8, feats.desc_pm1
+
+
 def need_keyframe(n_inliers: int, n_ref_inliers: int, frames_since_kf: int,
                   *, min_inliers: int = 30, ratio: float = 0.75,
                   max_gap: int = 30) -> bool:
