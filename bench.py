@@ -128,6 +128,40 @@ def main():
     details["hamming_gcomparisons_per_s"] = (
         1024 * 1024 / _timeit(match_step) / 1e9)
 
+    # ---- stage-2 semantic engine keyframes/s (DoN + batched per-mask loop;
+    # detection excluded — it has its own metric below). The reference's
+    # Engine::Run is the per-keyframe hot loop of stage 2
+    # (examples/label_instance_rgbd.cpp:77-110). ---------------------------
+    import dataclasses
+
+    from semantic_slam_tpu.config import (DonConfig, EngineConfig,
+                                          load_categories)
+    from semantic_slam_tpu.geometry import se3_inverse
+    from semantic_slam_tpu.semantic import Engine, OracleDetector
+
+    ecfg = dataclasses.replace(
+        cfg,
+        engine=EngineConfig(max_objects=16, max_points_per_object=2048,
+                            min_area=25, max_area=250000, min_point_count=15,
+                            prob_thd=0.5, min_depth=0.1, max_depth=3.5),
+        don=DonConfig(scale1=0.05, scale2=0.5, threshold=0.1,
+                      segradius=0.05, max_clusters=32))
+    det = OracleDetector(box_scene, ecfg.camera, max_masks=8)
+    traj_tcw = synth.orbit_trajectory(8, radius=0.25, look_at=(0, 0, 2.0))
+    traj_twc = np.asarray(se3_inverse(jnp.asarray(traj_tcw)))
+    frames = []
+    for i in range(len(traj_tcw)):
+        d, _ = synth.render_depth(box_scene, traj_twc[i], ecfg.camera)
+        frames.append((d, det.predict(traj_twc[i]), traj_tcw[i]))
+    eng = Engine(load_categories(), ecfg)
+    for i, (d, dets, tcw) in enumerate(frames):      # warmup + compile
+        eng.run(None, d, kf_id=i, Tcw=tcw, detections=dets)
+    n_runs, t0 = 16, time.perf_counter()
+    for j in range(n_runs):
+        d, dets, tcw = frames[j % len(frames)]
+        eng.run(None, d, kf_id=len(frames) + j, Tcw=tcw, detections=dets)
+    details["engine_kf_per_s"] = n_runs / (time.perf_counter() - t0)
+
     with open("bench_details.json", "w") as f:
         json.dump(details, f, indent=2)
 

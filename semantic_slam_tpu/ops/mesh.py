@@ -145,9 +145,9 @@ def marching_tetrahedra(tsdf: jnp.ndarray, weight: jnp.ndarray,
     tris = jnp.concatenate(tris_all)
     valid = jnp.concatenate(valid_all)
     k = min(max_tris, tris.shape[0])
-    _, sel = jax.lax.top_k(valid.astype(jnp.float32), k)
+    from semantic_slam_tpu.ops.compact import compact_indices
+    sel, out_valid = compact_indices(valid, k)
     out_tris = tris[sel]
-    out_valid = valid[sel]
     return out_tris, out_valid
 
 

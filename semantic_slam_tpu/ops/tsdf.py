@@ -412,11 +412,10 @@ def tsdf_surface_points(vol: TsdfVolume, *, tsdf_thresh: float = 0.2,
     D = vol.tsdf.shape[0]
     surf = (jnp.abs(vol.tsdf) < tsdf_thresh) & (vol.weight > weight_thresh)
     flat = surf.reshape(-1)
-    # stable selection of up to max_points surface voxels
-    score = flat.astype(jnp.float32)
+    # stable selection of up to max_points surface voxels (sort-free)
+    from semantic_slam_tpu.ops.compact import compact_indices
     k = min(max_points, flat.shape[0])
-    _, idx = jax.lax.top_k(score, k)
-    valid = flat[idx]
+    idx, valid = compact_indices(flat, k)
     iz = idx // (D * D)
     iy = (idx // D) % D
     ix = idx % D

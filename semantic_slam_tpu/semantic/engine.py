@@ -25,7 +25,7 @@ import numpy as np
 from semantic_slam_tpu.config import SlamConfig
 from semantic_slam_tpu.geometry.camera import Intrinsics
 from semantic_slam_tpu.ops.maskops import (
-    erode, mask_area, hu_moments, mask_centroid, match_shapes_i1)
+    hu_moments, mask_centroid, match_shapes_i1)
 from semantic_slam_tpu.semantic import objects as O
 from semantic_slam_tpu.semantic.don import DoN
 from semantic_slam_tpu.semantic.detector import Detections
@@ -65,6 +65,16 @@ class Engine:
 
         detections may be given directly (stage-2 drivers with an oracle or a
         precomputed model pass); otherwise self.detector.predict(rgb) runs.
+
+        The per-mask work runs BATCHED in one fused device program
+        (objects.keyframe_phase_a) against the keyframe-start bank snapshot —
+        the faithful batching of the reference's ``#pragma omp parallel for``
+        mask loop (Engine.cpp:170-172), where every mask races against the
+        keyframe-entry object state. The host reads back ONE packed vector
+        per keyframe (area gates, match decisions, Hu moments, centroids,
+        free-slot map) instead of ~5 scalars per mask; creations and
+        densifications then stream as pipelined dispatches with a single
+        final pt_n readback for the insert-or-delete rule.
         """
         e = self.cfg.engine
         depth_j = jnp.asarray(depth, jnp.float32)
@@ -72,7 +82,6 @@ class Engine:
 
         t0 = time.perf_counter()
         don_res = self.don.extract(depth_j)
-        n_clusters = int(don_res.n_clusters)
         self.timing["don"].append(time.perf_counter() - t0)
 
         t0 = time.perf_counter()
@@ -80,87 +89,98 @@ class Engine:
             detections = self.detector.predict(rgb)
         self.timing["detect"].append(time.perf_counter() - t0)
 
-        n_masks = int(detections.valid.sum())
-        if n_masks == 0 or n_clusters == 0:
+        det_valid = np.asarray(detections.valid)
+        n_masks = int(det_valid.sum())
+        if n_masks == 0:
             # Engine.cpp:145-148 warning path
             return
+
+        # ---- phase A: one fused program over all masks, one readback ------
+        t0 = time.perf_counter()
+        M = detections.masks.shape[0]
+        B = e.max_objects
+        batch = O.keyframe_phase_a(
+            self.bank, Tcw_j, depth_j, self.intr,
+            jnp.asarray(np.asarray(detections.masks)),
+            jnp.asarray(np.asarray(detections.labels), jnp.int32),
+            jnp.asarray(np.asarray(detections.scores), jnp.float32),
+            jnp.asarray(det_valid),
+            don_res.cluster_id, don_res.n_clusters,
+            jnp.float32(e.prob_thd), jnp.float32(e.min_depth),
+            jnp.float32(e.max_depth), jnp.float32(e.min_area),
+            jnp.float32(e.max_area), jnp.int32(e.min_point_count),
+            jnp.float32(e.score_margin), jnp.float32(e.overlap),
+            n_clusters_cap=self.cfg.don.max_clusters,
+            erode_radius=self._erode_r,
+            width=self.cfg.camera.width, height=self.cfg.camera.height)
+        pack = np.asarray(batch.pack)
+        n_clusters = int(pack[0])
+        slot_free = pack[1:1 + B] < 0.5
+        rows = pack[1 + B:].reshape(M, 11)
+        self.timing["track"].append(time.perf_counter() - t0)
+
+        if n_clusters == 0:
+            return
+        self.bank = batch.bank          # probability updates applied
         self.inventory.add_keyframe(kf_id, Tcw)
 
-        C = self.cfg.don.max_clusters
-        for i in range(n_masks):
-            mask = jnp.asarray(detections.masks[i])
-            area = float(mask_area(mask))
-            if area < e.min_area or area > e.max_area:
+        # ---- phase B: creations + densification (dispatches, no readbacks)
+        processed = []                  # (mask i, oidx, is_new)
+        for i in range(M):
+            if not det_valid[i] or rows[i, 1] < 0.5:
                 continue
             label = int(detections.labels[i])
             score = float(detections.scores[i])
-            mask_er = erode(mask, self._erode_r)
-
-            # 2. track existing objects by point projection
-            t0 = time.perf_counter()
-            gates = O.project_gates(
-                self.bank, Tcw_j, depth_j, self.intr,
-                jnp.float32(e.prob_thd), jnp.float32(e.min_depth),
-                jnp.float32(e.max_depth),
-                width=self.cfg.camera.width, height=self.cfg.camera.height)
-            counts = O.count_mask_inliers(
-                gates, mask_er, width=self.cfg.camera.width,
-                height=self.cfg.camera.height)
-            oidx = int(O.match_decision(
-                self.bank, counts, jnp.int32(label), jnp.float32(score),
-                jnp.int32(e.min_point_count), jnp.float32(e.score_margin)))
-            self.timing["track"].append(time.perf_counter() - t0)
-
-            # 3. create new object or update probabilities of the matched one
-            t0 = time.perf_counter()
+            oidx = int(rows[i, 0])
             is_new = oidx < 0
+
+            t0 = time.perf_counter()
             if is_new:
-                oidx = self._alloc_slot()
-                if oidx < 0:
-                    continue     # bank full
+                free = np.nonzero(slot_free)[0]
+                if len(free) == 0:
+                    continue            # bank full
+                oidx = int(free[0])
+                slot_free[oidx] = False
                 color = jnp.asarray(
                     np.random.RandomState(oidx + 7).uniform(0.2, 1.0, 3),
                     jnp.float32)
                 self.bank = O.init_object(self.bank, jnp.int32(oidx),
                                           jnp.int32(label), jnp.float32(score),
                                           color)
-            else:
-                self.bank = O.update_probabilities(
-                    self.bank, jnp.int32(oidx), gates, mask_er,
-                    jnp.float32(score), width=self.cfg.camera.width,
-                    height=self.cfg.camera.height)
             self.timing["create"].append(time.perf_counter() - t0)
 
-            # 4. fuse DoN clusters with the mask, densify the object
             t0 = time.perf_counter()
-            fused = O.fuse_segments(don_res.cluster_id, C, mask_er,
-                                    jnp.float32(e.overlap))
             self.bank = O.add_segment(
-                self.bank, jnp.int32(oidx), fused, depth_j, Tcw_j, self.intr,
-                jnp.float32(score), gates, jnp.float32(e.min_depth),
-                jnp.float32(e.max_depth), sensor=e.sensor,
-                res_radius=self._res_r, max_new=1024)
+                self.bank, jnp.int32(oidx), batch.fused[i], depth_j, Tcw_j,
+                self.intr, jnp.float32(score), batch.gates,
+                jnp.float32(e.min_depth), jnp.float32(e.max_depth),
+                sensor=e.sensor, res_radius=self._res_r, max_new=1024)
             self.timing["densify"].append(time.perf_counter() - t0)
 
-            # 4b. per-object TSDF integration from mask-multiplied depth
+            # per-object TSDF integration from mask-multiplied depth
             # (the Object::Integrate contract, Engine.cpp:192-193/221-233)
             if self.enable_tsdf:
                 t0 = time.perf_counter()
-                self._integrate_tsdf(oidx, mask, depth_j, Tcw_j)
+                self._integrate_tsdf(oidx, jnp.asarray(detections.masks[i]),
+                                     depth_j, Tcw_j)
                 self.timing["tsdf"].append(time.perf_counter() - t0)
 
-            # 5. inventory insert-or-delete (HasEnoughObjectPoints rule)
-            t0 = time.perf_counter()
-            n_pts = int(self.bank.pt_n[oidx])
-            if n_pts > e.min_point_count:
+            processed.append((i, oidx, is_new))
+
+        # ---- insert-or-delete (HasEnoughObjectPoints rule): ONE readback --
+        t0 = time.perf_counter()
+        pt_n = np.asarray(self.bank.pt_n)
+        for i, oidx, is_new in processed:
+            if pt_n[oidx] > e.min_point_count:
                 self.inventory.observe(
-                    oidx, kf_id, label, score,
+                    oidx, kf_id, int(detections.labels[i]),
+                    float(detections.scores[i]),
                     bbox=detections.boxes[i],
-                    hu=np.asarray(hu_moments(mask)),
-                    centroid=np.asarray(mask_centroid(mask)))
+                    hu=rows[i, 2:9].copy(),
+                    centroid=rows[i, 9:11].copy())
             elif is_new:
                 self.bank = O.release_object(self.bank, jnp.int32(oidx))
-            self.timing["insert"].append(time.perf_counter() - t0)
+        self.timing["insert"].append(time.perf_counter() - t0)
 
         if self.viewer is not None:
             self.viewer.update(self.bank, Tcw)

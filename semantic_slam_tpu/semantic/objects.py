@@ -270,6 +270,113 @@ def add_segment(bank: ObjectBank, oidx: jnp.ndarray, segment: jnp.ndarray,
                                pt_fg=pt_fg, pt_bg=pt_bg, pt_n=pt_n)
 
 
+class KeyframeBatch(NamedTuple):
+    """Device outputs of the fused per-keyframe mask pass (phase A)."""
+    bank: ObjectBank       # probability-updated bank (matched masks applied)
+    pack: jnp.ndarray      # [1 + B + M*11] f32 host pack (see keyframe_phase_a)
+    masks_er: jnp.ndarray  # [M, H, W] bool eroded masks
+    fused: jnp.ndarray     # [M, H, W] bool DoN∧mask fused segments
+    gates: ProjGates       # snapshot projections (for add_segment spacing)
+
+
+@functools.partial(jax.jit, static_argnames=("n_clusters_cap", "erode_radius",
+                                             "width", "height"))
+def keyframe_phase_a(bank: ObjectBank, Tcw: jnp.ndarray, depth: jnp.ndarray,
+                     intr: Intrinsics, masks: jnp.ndarray, labels: jnp.ndarray,
+                     scores: jnp.ndarray, det_valid: jnp.ndarray,
+                     cluster_id: jnp.ndarray, n_clusters: jnp.ndarray,
+                     prob_thd: jnp.ndarray, min_depth: jnp.ndarray,
+                     max_depth: jnp.ndarray, min_area: jnp.ndarray,
+                     max_area: jnp.ndarray, min_point_count: jnp.ndarray,
+                     score_margin: jnp.ndarray, overlap_thd: jnp.ndarray,
+                     *, n_clusters_cap: int, erode_radius: int,
+                     width: int = 640, height: int = 480) -> KeyframeBatch:
+    """ALL masks of one keyframe against the bank snapshot, in ONE program.
+
+    The reference's per-mask loop is ``#pragma omp parallel for``
+    (Engine.cpp:170-172): every mask races against the keyframe-start object
+    state, so snapshot semantics — every mask matched/updated against the
+    bank as of keyframe entry — is the faithful (and deterministic)
+    batching. Per mask: area gate, erosion, inlier counting (c1), the
+    c1∧(c3∨c4) match decision, fg/bg probability updates for matched
+    objects (applied summed over masks), Hu moments + centroid, DoN∧mask
+    fusion. Everything the sequential host loop read back one scalar at a
+    time (~30 ms each through a remote transport) is packed into ONE f32
+    vector:
+
+      pack[0]              n_clusters (forwarded — saves its own readback)
+      pack[1 : 1+B]        bank.obj_valid (0/1) — free-slot map for host alloc
+      pack[1+B :]          M rows × 11: [midx, area_ok, hu0..hu6, cx, cy]
+    """
+    from semantic_slam_tpu.ops.maskops import (
+        erode as _erode, hu_moments as _hu, mask_centroid as _cen)
+
+    M = masks.shape[0]
+    B, P = bank.pt_valid.shape
+    f32 = jnp.float32
+
+    masks_er = _erode(masks, radius=erode_radius)                # [M, H, W]
+    areas = jnp.sum(masks, axis=(-2, -1)).astype(f32)
+    area_ok = det_valid & (areas >= min_area) & (areas <= max_area)
+
+    gates = project_gates(bank, Tcw, depth, intr, prob_thd,
+                          min_depth, max_depth, width=width, height=height)
+    ui = jnp.clip(gates.uv_i[..., 0], 0, width - 1)              # [B, P]
+    vi = jnp.clip(gates.uv_i[..., 1], 0, height - 1)
+    if M <= 32:
+        # one gather of M bitplanes packed into int32 instead of M gathers
+        # (arbitrary-index gathers are the slow op on TPU — pack the masks)
+        shifts = jnp.arange(M, dtype=jnp.int32)[:, None, None]
+        packed = jnp.sum(masks_er.astype(jnp.int32) << shifts, axis=0)
+        ptbits = packed[vi, ui]                                  # [B, P] i32
+        in_mask = ((ptbits[None] >> shifts) & 1).astype(bool)    # [M, B, P]
+    else:
+        in_mask = masks_er[:, vi, ui]
+
+    counts = jnp.sum(gates.good[None] & in_mask, axis=-1)        # [M, B]
+    c1 = counts > min_point_count
+    c3 = bank.obj_label[None, :] == labels[:, None]
+    c4 = bank.obj_score[None, :] > score_margin * scores[:, None]
+    match = (bank.obj_valid[None] & c1 & (c3 | c4)
+             & area_ok[:, None])                                 # [M, B]
+    order = jnp.where(match, bank.obj_created[None], 2 ** 30)
+    midx = jnp.where(jnp.any(match, -1),
+                     jnp.argmin(order, -1), -1).astype(jnp.int32)  # [M]
+
+    # fg/bg evidence for every matched mask, summed over masks
+    # (Engine.cpp:448-483; all gated points, no isBad filter)
+    matched_ob = jax.nn.one_hot(midx, B, dtype=bool) & (midx >= 0)[:, None]
+    upd = matched_ob[:, :, None] & gates.gate[None]              # [M, B, P]
+    fg_add = jnp.einsum("m,mbp->bp", scores,
+                        (upd & in_mask).astype(f32))
+    bg_add = jnp.einsum("m,mbp->bp", scores,
+                        (upd & ~in_mask).astype(f32))
+    new_bank = dataclasses.replace(bank, pt_fg=bank.pt_fg + fg_add,
+                                   pt_bg=bank.pt_bg + bg_add)
+
+    hu = jax.vmap(_hu)(masks)                                    # [M, 7]
+    cen = jax.vmap(_cen)(masks)                                  # [M, 2]
+
+    # DoN∧mask fusion for all masks (fuse_segments batched over M)
+    C = n_clusters_cap
+    onehot = jax.nn.one_hot(cluster_id, C, dtype=f32)            # [H, W, C]
+    total = jnp.sum(onehot, axis=(0, 1))                         # [C]
+    inside = jnp.einsum("hwc,mhw->mc", onehot, masks_er.astype(f32))
+    keep = inside / jnp.maximum(total, 1.0) > overlap_thd        # [M, C]
+    keep_px = jnp.einsum("hwc,mc->mhw", onehot, keep.astype(f32)) > 0
+    fused = keep_px & masks_er
+
+    rows = jnp.concatenate([
+        midx.astype(f32)[:, None], area_ok.astype(f32)[:, None],
+        hu.astype(f32), cen.astype(f32)], axis=1)                # [M, 11]
+    pack = jnp.concatenate([
+        n_clusters.reshape(1).astype(f32),
+        bank.obj_valid.astype(f32),
+        rows.reshape(-1)])
+    return KeyframeBatch(bank=new_bank, pack=pack, masks_er=masks_er,
+                         fused=fused, gates=gates)
+
+
 @functools.partial(jax.jit, static_argnames=("n_clusters_cap",))
 def fuse_segments(cluster_id: jnp.ndarray, n_clusters_cap: int,
                   mask_eroded: jnp.ndarray, overlap_thd: jnp.ndarray) -> jnp.ndarray:

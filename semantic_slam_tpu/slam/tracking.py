@@ -165,8 +165,8 @@ def track_with_map(
     visible = pt_valid & (z > 0.05) & in_image(uv_proj, width, height, margin=5)
 
     C = min(max_candidates, P)
-    _, cand = jax.lax.top_k(visible.astype(jnp.float32), C)
-    cvis = visible[cand]
+    from semantic_slam_tpu.ops.compact import compact_indices
+    cand, cvis = compact_indices(visible, C)
     cdesc = pt_desc_pm1[cand]
     cxyz = pt_xyz[cand]
     cuv = uv_proj[cand]
