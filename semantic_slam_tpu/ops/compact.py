@@ -70,7 +70,7 @@ def compact_indices(mask: jnp.ndarray, C: int) -> Tuple[jnp.ndarray, jnp.ndarray
     P = mask.shape[0]
     ps = prefix_sum(mask)                                # [P] 1-based ranks
     pos = jnp.where(mask, ps - 1, C)                     # target slot or C
-    if C * P <= (1 << 28):
+    if C * P <= (1 << 24):
         sel = (pos[None, :] == jnp.arange(C)[:, None])   # [C, P] one-hot
         idx = (sel.astype(jnp.float32)
                @ jnp.arange(P, dtype=jnp.float32)).astype(jnp.int32)

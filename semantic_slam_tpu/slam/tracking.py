@@ -80,38 +80,41 @@ def pose_optimize(
         J = Jp @ Jxi                                          # [N, 2, 6]
         return r, J, z
 
-    def gn_round(carry, _):
+    def gn_step(carry, i):
+        # ONE residual evaluation per step: the chi2 inlier re-ranking that
+        # ORB-SLAM2 does between rounds is folded into the step itself —
+        # the step's weights use the mask CARRIED from the previous step's
+        # residuals, and the mask refreshes every step (after a burn-in of
+        # `iters` ungated steps so the initial-pose error can't gate out
+        # good points). Sequential tiny-kernel chains are launch-latency-
+        # bound on TPU and the separate re-evaluation pass was a third of
+        # them. Masked-out observations re-enter when they recover, as in
+        # ORB-SLAM2's PoseOptimization.
         Tcw, w_mask = carry
-
-        def gn_step(Tcw, _):
-            r, J, z = residuals_jac(Tcw)
-            valid = w_mask & (z > 0.05)
-            chi2 = jnp.sum(r * r, -1) * inv_sigma2
-            # Huber on the residual norm
-            delta = jnp.sqrt(CHI2_2D)
-            rn = jnp.sqrt(jnp.maximum(chi2, 1e-12))
-            w_huber = jnp.where(rn <= delta, 1.0, delta / rn)
-            w = valid * inv_sigma2 * w_huber                  # [N]
-            H = jnp.einsum("nik,n,nil->kl", J, w, J)
-            b = jnp.einsum("nik,n,ni->k", J, w, r)
-            H = H + 1e-6 * jnp.eye(6)
-            dx = -jnp.linalg.solve(H, b)
-            # trust region: a near-singular system (too few matches) must not
-            # produce a huge twist — f32 Rodrigues degrades at large angles
-            # and the pose would leave the basin instead of re-entering it.
-            nrm = jnp.linalg.norm(dx)
-            dx = dx * jnp.minimum(1.0, 1.0 / (nrm + 1e-12))
-            dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
-            return se3_exp(dx) @ Tcw, None
-
-        Tcw, _ = jax.lax.scan(gn_step, Tcw, None, length=iters)
-        # re-evaluate inliers for the next round
-        r, _, z = residuals_jac(Tcw)
+        r, J, z = residuals_jac(Tcw)
         chi2 = jnp.sum(r * r, -1) * inv_sigma2
-        w_mask = w_valid & (chi2 <= CHI2_2D) & (z > 0.05)
-        return (Tcw, w_mask), None
+        valid = w_valid & (z > 0.05)
+        # Huber on the residual norm
+        delta = jnp.sqrt(CHI2_2D)
+        rn = jnp.sqrt(jnp.maximum(chi2, 1e-12))
+        w_huber = jnp.where(rn <= delta, 1.0, delta / rn)
+        w = (w_mask & valid) * inv_sigma2 * w_huber       # [N]
+        H = jnp.einsum("nik,n,nil->kl", J, w, J)
+        b = jnp.einsum("nik,n,ni->k", J, w, r)
+        H = H + 1e-6 * jnp.eye(6)
+        dx = -jnp.linalg.solve(H, b)
+        # trust region: a near-singular system (too few matches) must not
+        # produce a huge twist — f32 Rodrigues degrades at large angles
+        # and the pose would leave the basin instead of re-entering it.
+        nrm = jnp.linalg.norm(dx)
+        dx = dx * jnp.minimum(1.0, 1.0 / (nrm + 1e-12))
+        dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
+        new_mask = jnp.where(i + 1 < iters, w_valid,
+                             valid & (chi2 <= CHI2_2D))
+        return (se3_exp(dx) @ Tcw, new_mask), None
 
-    (Tcw, w_mask), _ = jax.lax.scan(gn_round, (Tcw0, w_valid), None, length=rounds)
+    (Tcw, w_mask), _ = jax.lax.scan(gn_step, (Tcw0, w_valid),
+                                    jnp.arange(iters * rounds))
     Tcw = orthonormalize_pose(Tcw)
     r, _, z = residuals_jac(Tcw)
     chi2 = jnp.sum(r * r, -1) * inv_sigma2
