@@ -237,6 +237,22 @@ class Engine:
                 return int(o)
         return -1
 
+    def display(self, oidx: int, mask, Tcw: np.ndarray,
+                rgb: Optional[np.ndarray] = None,
+                path: str = "texture_geometry.png") -> np.ndarray:
+        """Debug overlay of one tracked object in the current keyframe
+        (Engine::display parity, reference src/Engine.cpp:687-753): mask
+        contour + "label id" text + the object's probability-gated points
+        projected with the reference's 5-px frustum border and
+        [min_depth, max_depth] range gates; writes texture_geometry.png."""
+        from semantic_slam_tpu.viz.renderer import render_object_overlay
+
+        e = self.cfg.engine
+        return render_object_overlay(
+            self.bank, oidx, np.asarray(mask), np.asarray(Tcw),
+            np.asarray(self.intr.K), self.categories, e.prob_thd,
+            e.min_depth, e.max_depth, image=rgb, path=path)
+
     def reset(self):
         """Clear all object state (the lidar driver calls this per frame —
         reference ``label_instance_lidar.cpp:129``)."""
