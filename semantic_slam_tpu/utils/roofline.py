@@ -1,0 +1,209 @@
+"""Per-kernel roofline harness.
+
+The reference's only performance tooling is wall-clock stage averages
+(``src/Engine.cpp:267-290``). For a TPU framework the question is not "how
+long" but "how far from the hardware ceiling": every kernel is either
+compute-bound (MXU/VPU flops) or memory-bound (HBM bytes), and the roofline
+model says which — achieved intensity I = flops/bytes vs. the machine
+balance B = peak_flops/peak_bw. Kernels with I < B can at best hit
+``I * peak_bw`` flop/s no matter how good the schedule is.
+
+Usage::
+
+    spec = KernelSpec("hamming", lambda: hamming_matrix(d1, d2),
+                      flops=2 * N * M * 256, bytes=(N + M) * 256 + N * M * 4)
+    row = measure_kernel(spec)
+    print(format_report([row]))
+
+Timing uses the pipelined-dispatch estimator from ``bench.py`` (queue many
+async calls, sync once) so the number reflects device execution, not the
+host/tunnel dispatch floor.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Dict, List, Optional, Sequence
+
+# Published peaks per device generation: (dense matmul TFLOP/s in bf16,
+# f32 TFLOP/s, HBM GB/s). Conservative board-level numbers; the point is a
+# consistent denominator, not marketing precision.
+_PEAKS: Dict[str, Dict[str, float]] = {
+    "v5 lite": {"bf16_tflops": 197.0, "f32_tflops": 98.5, "hbm_gbs": 819.0},
+    "v5e": {"bf16_tflops": 197.0, "f32_tflops": 98.5, "hbm_gbs": 819.0},
+    "v5p": {"bf16_tflops": 459.0, "f32_tflops": 229.5, "hbm_gbs": 2765.0},
+    "v4": {"bf16_tflops": 275.0, "f32_tflops": 137.5, "hbm_gbs": 1228.0},
+    "v6e": {"bf16_tflops": 918.0, "f32_tflops": 459.0, "hbm_gbs": 1640.0},
+    # CPU fallback so tests/reports run anywhere; order-of-magnitude only.
+    "cpu": {"bf16_tflops": 1.0, "f32_tflops": 0.5, "hbm_gbs": 50.0},
+}
+
+
+def device_peaks(device=None) -> Dict[str, float]:
+    """Look up peak numbers for the current (or given) jax device."""
+    import jax
+
+    if device is None:
+        device = jax.devices()[0]
+    kind = getattr(device, "device_kind", "cpu").lower()
+    for key, peaks in _PEAKS.items():
+        if key in kind:
+            return dict(peaks, kind=kind)  # type: ignore[arg-type]
+    return dict(_PEAKS["cpu"], kind=kind)  # type: ignore[arg-type]
+
+
+@dataclasses.dataclass
+class KernelSpec:
+    """A kernel plus its ideal work estimate.
+
+    flops: useful floating/int ops per call (2*M*N*K for a matmul).
+    bytes: minimum HBM traffic per call (inputs read once + outputs written
+    once, at their stored dtype widths) — the compulsory traffic, i.e. the
+    roofline's optimistic denominator.
+    dtype: which flops ceiling applies ("bf16" or "f32").
+    """
+
+    name: str
+    fn: Callable[[], object]
+    flops: float
+    bytes: float
+    dtype: str = "f32"
+
+
+@dataclasses.dataclass
+class RooflineRow:
+    name: str
+    seconds: float
+    gflops: float            # achieved Gflop/s
+    gbytes: float            # achieved GB/s (compulsory traffic / time)
+    intensity: float         # flops per byte
+    bound: str               # "compute" or "memory"
+    pct_of_roof: float       # achieved / roofline ceiling at this intensity
+
+    def as_dict(self) -> Dict[str, object]:
+        return dataclasses.asdict(self)
+
+
+def _sync(x) -> None:
+    import numpy as np
+    import jax
+
+    leaves = jax.tree_util.tree_leaves(x)
+    if leaves:
+        np.asarray(leaves[0]).ravel()
+
+
+def time_kernel(fn: Callable[[], object], warmup: int = 2, iters: int = 50,
+                batches: int = 3) -> float:
+    """Best-of-batches pipelined timing (see bench.py for why min + deep
+    queues: one-sided tunnel jitter, ~0.7 ms dispatch floor)."""
+    out = None
+    for _ in range(warmup):
+        out = fn()
+    _sync(out)
+    best = float("inf")
+    for _ in range(batches):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn()
+        _sync(out)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
+
+
+def measure_kernel(spec: KernelSpec, peaks: Optional[Dict[str, float]] = None,
+                   **timeit_kw) -> RooflineRow:
+    peaks = peaks or device_peaks()
+    dt = time_kernel(spec.fn, **timeit_kw)
+    intensity = spec.flops / max(spec.bytes, 1.0)
+    peak_flops = peaks[f"{spec.dtype}_tflops"] * 1e12
+    peak_bw = peaks["hbm_gbs"] * 1e9
+    balance = peak_flops / peak_bw
+    roof = peak_flops if intensity >= balance else intensity * peak_bw
+    achieved = spec.flops / dt
+    return RooflineRow(
+        name=spec.name,
+        seconds=dt,
+        gflops=achieved / 1e9,
+        gbytes=spec.bytes / dt / 1e9,
+        intensity=intensity,
+        bound="compute" if intensity >= balance else "memory",
+        pct_of_roof=100.0 * achieved / roof,
+    )
+
+
+def measure_all(specs: Sequence[KernelSpec], **timeit_kw) -> List[RooflineRow]:
+    peaks = device_peaks()
+    return [measure_kernel(s, peaks, **timeit_kw) for s in specs]
+
+
+def format_report(rows: Sequence[RooflineRow]) -> str:
+    hdr = (f"{'kernel':<24}{'time':>10}{'Gflop/s':>10}{'GB/s':>9}"
+           f"{'I(f/B)':>9}{'bound':>9}{'%roof':>8}")
+    lines = [hdr, "-" * len(hdr)]
+    for r in rows:
+        lines.append(
+            f"{r.name:<24}{r.seconds * 1e3:>8.3f}ms{r.gflops:>10.1f}"
+            f"{r.gbytes:>9.1f}{r.intensity:>9.1f}{r.bound:>9}"
+            f"{r.pct_of_roof:>7.1f}%")
+    return "\n".join(lines)
+
+
+def standard_kernel_suite() -> List[KernelSpec]:
+    """Rooflines for the framework's hot kernels (used by tools/roofline)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import SlamConfig, OrbConfig
+    from ..geometry import Intrinsics
+    from ..ops.match import hamming_matrix
+    from ..ops.orb import extract_orb
+
+    cfg = SlamConfig()
+    intr = Intrinsics.from_config(cfg.camera)
+    rs = np.random.RandomState(0)
+    specs: List[KernelSpec] = []
+
+    # Hamming matcher: (+-1)^T (+-1) matmul, N x M x 256.
+    n = m = 1024
+    d1 = jnp.asarray(rs.randint(0, 2, (n, 256)).astype(np.int8) * 2 - 1)
+    d2 = jnp.asarray(rs.randint(0, 2, (m, 256)).astype(np.int8) * 2 - 1)
+    specs.append(KernelSpec(
+        "hamming_1k_x_1k", lambda: hamming_matrix(d1, d2),
+        flops=2.0 * n * m * 256, bytes=float((n + m) * 256 + n * m * 4),
+        dtype="bf16"))
+
+    # ORB front end over a VGA frame: dominated by the pyramid + FAST
+    # planes; compulsory traffic = image in + descriptors/coords out.
+    img = jnp.asarray(rs.uniform(0, 255, (480, 640)).astype(np.float32))
+    ocfg = OrbConfig(n_features=1000)
+    f_orb = jax.jit(lambda im: extract_orb(im, ocfg).desc_pm1)
+    specs.append(KernelSpec(
+        "extract_orb_vga", lambda: f_orb(img),
+        flops=2.0 * 480 * 640 * 16 * 8,   # 8 pyramid levels x 16-tap work
+        bytes=480.0 * 640 * 4 * 2 + 1000 * 256, dtype="f32"))
+
+    # TSDF blocked integrate: 200^3 voxels, ~16 flops each (transform +
+    # project + sdf update), traffic = tsdf+weight r/w for touched blocks.
+    from ..io import synth
+    from ..ops.tsdf import tsdf_blocked_create, tsdf_integrate_blocked
+    scene = synth.make_box_scene(2, seed=2)
+    depth, _ = synth.render_depth(scene, np.eye(4), cfg.camera)
+    depth_j = jnp.asarray(depth)
+    vol = tsdf_blocked_create(np.array([-0.4, -0.4, 1.4], np.float32),
+                              np.eye(4, dtype=np.float32), dim=200, block=8)
+    box = {"v": vol}
+
+    def tsdf_step():
+        box["v"] = tsdf_integrate_blocked(
+            box["v"], depth_j, jnp.eye(4), intr, voxel_size=0.004,
+            trunc_margin=0.02, block=8, max_mixed=1024)
+        return box["v"].tsdf
+
+    nvox = 200 ** 3
+    specs.append(KernelSpec(
+        "tsdf_integrate_200^3", tsdf_step,
+        flops=16.0 * nvox, bytes=nvox * 4.0 * 2, dtype="f32"))
+    return specs
