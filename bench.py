@@ -102,46 +102,19 @@ def main():
         "vs_baseline": round(fps / 30.0, 2),
     }), flush=True)
 
-    # ---- TSDF integrate (reference workload: 200^3 voxels/frame over a
-    # real object depth scene; hierarchically-culled block kernel) ----------
     box_scene = synth.make_box_scene(2, seed=2)
     bdepth, _ = synth.render_depth(box_scene, np.eye(4), cam)
     bdepth_j = jnp.asarray(bdepth)
-    from semantic_slam_tpu.ops.tsdf import (
-        tsdf_blocked_create, tsdf_integrate_blocked)
-    state = {"vol": tsdf_blocked_create(
-        np.array([-0.4, -0.4, 1.4], np.float32),
-        np.eye(4, dtype=np.float32), dim=200, block=8)}
-
-    def tsdf_step():
-        state["vol"] = tsdf_integrate_blocked(
-            state["vol"], bdepth_j, jnp.eye(4), intr,
-            voxel_size=0.004, trunc_margin=0.02, block=8, max_mixed=1024)
-        return state["vol"].tsdf
-
-    dt_tsdf = _timeit(tsdf_step, warmup=2, iters=100)
-    details["tsdf_mvoxels_per_s"] = 200 ** 3 / dt_tsdf / 1e6
-
-    # ---- DoN segmentation -------------------------------------------------
-    def don_step():
-        return don_extract(bdepth_j, intr, 0.05, 0.5, 0.1, 0.05).cluster_id
-
-    details["don_fps"] = 1.0 / _timeit(don_step, warmup=2, iters=60)
-
-    # ---- Hamming matcher rate --------------------------------------------
-    d1 = jnp.asarray(rs.randint(0, 2, (1024, 256)).astype(np.int8) * 2 - 1)
-    d2 = jnp.asarray(rs.randint(0, 2, (1024, 256)).astype(np.int8) * 2 - 1)
-
-    def match_step():
-        return hamming_matrix(d1, d2)
-
-    details["hamming_gcomparisons_per_s"] = (
-        1024 * 1024 / _timeit(match_step) / 1e9)
 
     # ---- stage-2 semantic engine keyframes/s (DoN + batched per-mask loop;
     # detection excluded — it has its own metric below). The reference's
     # Engine::Run is the per-keyframe hot loop of stage 2
-    # (examples/label_instance_rgbd.cpp:77-110). ---------------------------
+    # (examples/label_instance_rgbd.cpp:77-110).
+    # NOTE: this section must run BEFORE the standalone DoN micro-bench —
+    # pre-running the don_extract program poisons the remote-TPU transport
+    # for later new programs (readbacks/uploads start failing with bare
+    # INVALID_ARGUMENT; bisected in round 1, track/tsdf/hamming pre-runs are
+    # all fine, one don_extract execution is not). ---------------------------
     import dataclasses
 
     from semantic_slam_tpu.config import (DonConfig, EngineConfig,
@@ -174,7 +147,43 @@ def main():
             eng.run(None, d, kf_id=len(frames) + j, Tcw=tcw, detections=dets)
         details["engine_kf_per_s"] = n_runs / (time.perf_counter() - t0)
     except Exception as e:  # keep secondary metrics non-fatal
+        import traceback
         details["engine_error"] = str(e)[:200]
+        details["engine_traceback"] = traceback.format_exc()[-2000:]
+
+    # ---- TSDF integrate (reference workload: 200^3 voxels/frame over a
+    # real object depth scene; hierarchically-culled block kernel) ----------
+    from semantic_slam_tpu.ops.tsdf import (
+        tsdf_blocked_create, tsdf_integrate_blocked)
+    state = {"vol": tsdf_blocked_create(
+        np.array([-0.4, -0.4, 1.4], np.float32),
+        np.eye(4, dtype=np.float32), dim=200, block=8)}
+
+    def tsdf_step():
+        state["vol"] = tsdf_integrate_blocked(
+            state["vol"], bdepth_j, jnp.eye(4), intr,
+            voxel_size=0.004, trunc_margin=0.02, block=8, max_mixed=1024)
+        return state["vol"].tsdf
+
+    dt_tsdf = _timeit(tsdf_step, warmup=2, iters=100)
+    details["tsdf_mvoxels_per_s"] = 200 ** 3 / dt_tsdf / 1e6
+
+    # ---- DoN segmentation (keep LAST among device micro-benches: see the
+    # transport-poisoning note above the engine section) ---------------------
+    def don_step():
+        return don_extract(bdepth_j, intr, 0.05, 0.5, 0.1, 0.05).cluster_id
+
+    details["don_fps"] = 1.0 / _timeit(don_step, warmup=2, iters=60)
+
+    # ---- Hamming matcher rate --------------------------------------------
+    d1 = jnp.asarray(rs.randint(0, 2, (1024, 256)).astype(np.int8) * 2 - 1)
+    d2 = jnp.asarray(rs.randint(0, 2, (1024, 256)).astype(np.int8) * 2 - 1)
+
+    def match_step():
+        return hamming_matrix(d1, d2)
+
+    details["hamming_gcomparisons_per_s"] = (
+        1024 * 1024 / _timeit(match_step) / 1e9)
 
     with open("bench_details.json", "w") as f:
         json.dump(details, f, indent=2)
