@@ -32,6 +32,9 @@ def save_system(path: str, sys_) -> None:
     for k in _SYSTEM_SCALARS:
         data[f"scalar_{k}"] = np.asarray(getattr(sys_, k))
     data["state"] = np.asarray(sys_.state)
+    data["kf_timestamps"] = np.asarray(sys_.kf_timestamps)
+    data["kf_free"] = np.asarray(sys_.kf_free, np.int32)
+    data["kf_order"] = np.asarray(sys_.kf_order, np.int32)
     traj = sys_.trajectory
     data["traj_t"] = np.asarray([t for t, _ in traj])
     data["traj_T"] = (np.stack([T for _, T in traj])
@@ -53,6 +56,10 @@ def load_system(path: str, sys_) -> None:
     sys_.state = str(z["state"])
     sys_.trajectory = [(float(t), T.copy())
                        for t, T in zip(z["traj_t"], z["traj_T"])]
+    if "kf_timestamps" in z.files:
+        sys_.kf_timestamps = z["kf_timestamps"].copy()
+        sys_.kf_free = [int(x) for x in z["kf_free"]]
+        sys_.kf_order = [int(x) for x in z["kf_order"]]
 
 
 def save_object_bank(path: str, bank) -> None:
@@ -68,6 +75,35 @@ def load_object_bank(path: str, bank_cls=None):
         from semantic_slam_tpu.semantic.objects import ObjectBank as bank_cls
     z = np.load(path, allow_pickle=False)
     return bank_cls(**{k: jnp.asarray(z[k]) for k in z.files})
+
+
+def save_params(path: str, params) -> None:
+    """Serialize a (nested-dict) Flax param tree to one .npz: keys are the
+    '/'-joined tree paths. Counterpart of the reference's torch .pth model
+    files (``src/MaskRCNN.py.in`` loads COCO weights; here we ship weights
+    trained in-framework on the synthetic scenes)."""
+    import jax
+
+    flat = {}
+    for path_keys, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        key = "/".join(str(getattr(k, "key", k)) for k in path_keys)
+        flat[key] = np.asarray(leaf)
+    np.savez_compressed(path, **flat)
+
+
+def load_params(path: str):
+    """Inverse of save_params: .npz -> nested dict of jnp arrays."""
+    import jax.numpy as jnp
+
+    z = np.load(path, allow_pickle=False)
+    params: dict = {}
+    for key in z.files:
+        node = params
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(z[key])
+    return params
 
 
 def save_tsdf(path: str, vol, color_vol=None) -> None:

@@ -127,13 +127,16 @@ def make_box_scene(n_boxes: int = 3, seed: int = 0) -> BoxScene:
     return BoxScene(np.asarray(boxes, np.float32), labels.astype(np.int32))
 
 
-def render_depth(scene: BoxScene, Twc: np.ndarray, cam: CameraConfig,
+def render_depth(scene, Twc: np.ndarray, cam: CameraConfig,
                  plane_depth: float = 3.0) -> Tuple[np.ndarray, np.ndarray]:
     """Ray-cast depth + instance-id images from camera pose Twc (cam->world).
 
     Returns (depth [H, W] float32 z-depth, inst [H, W] int32 box index or -1
     for the background plane). Vectorized slab-test ray casting in NumPy.
+    Accepts a BoxScene or (dispatching to render_scene) a ShapeScene.
     """
+    if hasattr(scene, "kinds"):
+        return render_scene(scene, Twc, cam)
     H, W = cam.height, cam.width
     ys, xs = np.mgrid[0:H, 0:W]
     dirs_c = np.stack([(xs - cam.cx) / cam.fx, (ys - cam.cy) / cam.fy,
@@ -173,3 +176,308 @@ def render_rgb_from_inst(inst: np.ndarray, seed: int = 0) -> np.ndarray:
     rs = np.random.RandomState(seed)
     colors = rs.randint(40, 255, size=(int(inst.max()) + 2, 3), dtype=np.uint8)
     return colors[inst + 1]
+
+
+# ---------------------------------------------------------------------------
+# Multi-shape textured scenes (Mask R-CNN training substrate)
+#
+# The reference trains nothing — it loads COCO weights into maskrcnn-benchmark
+# (``src/MaskRCNN.py.in``). This environment has no datasets or weights, so
+# the detector is *trained* on these procedurally-textured scenes: each COCO
+# class id used by the synthetic world has a fixed, learnable appearance
+# (base hue + world-anchored stripe/checker texture + analytic-normal
+# shading), and scenes have clutter and occlusion.
+# ---------------------------------------------------------------------------
+
+BOX, SPHERE, CYLINDER = 0, 1, 2
+
+# class id -> (base RGB 0..1, texture kind, texture frequency 1/m)
+# texture kinds: 0 stripes-x, 1 stripes-y, 2 checker, 3 plain
+CLASS_APPEARANCE = {
+    41: (np.array([0.85, 0.25, 0.20]), 0, 40.0),   # cup: red, fine x-stripes
+    57: (np.array([0.20, 0.65, 0.25]), 2, 25.0),   # chair: green checker
+    63: (np.array([0.25, 0.35, 0.85]), 1, 30.0),   # laptop: blue y-stripes
+    73: (np.array([0.85, 0.75, 0.20]), 3, 0.0),    # book: plain yellow
+    75: (np.array([0.70, 0.25, 0.75]), 2, 50.0),   # vase: purple fine checker
+}
+SYNTH_CLASSES = tuple(sorted(CLASS_APPEARANCE))
+
+
+class ShapeScene(NamedTuple):
+    """Mixed primitive shapes over a background wall at z = plane_depth.
+
+    kinds[b] selects the primitive; params[b] packs its geometry:
+      BOX:      (xmin, ymin, zmin, xmax, ymax, zmax)
+      SPHERE:   (cx, cy, cz, r, 0, 0)
+      CYLINDER: (cx, cz, r, ymin, ymax, 0) — axis along world y
+    """
+    kinds: np.ndarray      # [B] int32
+    params: np.ndarray     # [B, 6] float32
+    labels: np.ndarray     # [B] int32 COCO class id
+    plane_depth: float
+
+
+def make_shape_scene(n_objects: int = 4, seed: int = 0,
+                     plane_depth: Optional[float] = None) -> ShapeScene:
+    rs = np.random.RandomState(seed)
+    if plane_depth is None:
+        plane_depth = float(rs.uniform(2.6, 3.4))
+    kinds, params, labels = [], [], []
+    for _ in range(n_objects):
+        kind = int(rs.randint(0, 3))
+        cx, cy = rs.uniform(-0.9, 0.9, 2)
+        cz = rs.uniform(1.4, plane_depth - 0.3)
+        if kind == BOX:
+            sx, sy, sz = rs.uniform(0.18, 0.5, 3)
+            p = [cx - sx / 2, cy - sy / 2, cz - sz / 2,
+                 cx + sx / 2, cy + sy / 2, cz + sz / 2]
+        elif kind == SPHERE:
+            r = rs.uniform(0.10, 0.28)
+            p = [cx, cy, cz, r, 0.0, 0.0]
+        else:
+            r = rs.uniform(0.08, 0.2)
+            h = rs.uniform(0.2, 0.5)
+            p = [cx, cz, r, cy - h / 2, cy + h / 2, 0.0]
+        kinds.append(kind)
+        params.append(p)
+        labels.append(int(rs.choice(SYNTH_CLASSES)))
+    return ShapeScene(np.asarray(kinds, np.int32),
+                      np.asarray(params, np.float32),
+                      np.asarray(labels, np.int32), plane_depth)
+
+
+def _raycast_scene(scene: ShapeScene, Twc: np.ndarray, cam: CameraConfig):
+    """Returns (t [N], inst [N], origin [3], dirs_w [N, 3]) flat arrays."""
+    H, W = cam.height, cam.width
+    ys, xs = np.mgrid[0:H, 0:W]
+    dirs_c = np.stack([(xs - cam.cx) / cam.fx, (ys - cam.cy) / cam.fy,
+                       np.ones_like(xs, np.float32)], axis=-1).reshape(-1, 3)
+    R, o = Twc[:3, :3], Twc[:3, 3]
+    d = dirs_c @ R.T
+    dz = d[:, 2]
+    t_plane = np.where(np.abs(dz) > 1e-6, (scene.plane_depth - o[2]) / dz,
+                       np.inf)
+    best_t = np.where(t_plane > 0, t_plane, np.inf)
+    best_id = np.full(len(d), -1, np.int32)
+    for b in range(len(scene.kinds)):
+        kind, p = int(scene.kinds[b]), scene.params[b]
+        if kind == BOX:
+            lo, hi = p[:3], p[3:]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t1, t2 = (lo - o) / d, (hi - o) / d
+            tmin = np.nanmax(np.minimum(t1, t2), axis=1)
+            tmax = np.nanmin(np.maximum(t1, t2), axis=1)
+            hit = (tmax >= tmin) & (tmax > 0)
+            t_hit = np.where(tmin > 0, tmin, tmax)
+        elif kind == SPHERE:
+            c, r = p[:3], p[3]
+            oc = o - c
+            bq = np.sum(d * oc, axis=1)
+            cq = np.sum(oc * oc) - r * r
+            disc = bq * bq - np.sum(d * d, axis=1) * cq
+            sq = np.sqrt(np.maximum(disc, 0.0))
+            a2 = np.sum(d * d, axis=1)
+            t0 = (-bq - sq) / a2
+            t1s = (-bq + sq) / a2
+            hit = disc > 0
+            t_hit = np.where(t0 > 0, t0, t1s)
+            hit &= t_hit > 0
+        else:  # CYLINDER along world y
+            cx, cz, r, ymin, ymax = p[0], p[1], p[2], p[3], p[4]
+            dxz = np.stack([d[:, 0], d[:, 2]], -1)
+            oxz = np.array([o[0] - cx, o[2] - cz])
+            a = np.sum(dxz * dxz, axis=1)
+            bq = np.sum(dxz * oxz, axis=1)
+            cq = np.sum(oxz * oxz) - r * r
+            disc = bq * bq - a * cq
+            sq = np.sqrt(np.maximum(disc, 0.0))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t0 = (-bq - sq) / a
+                t1s = (-bq + sq) / a
+            y0 = o[1] + t0 * d[:, 1]
+            y1 = o[1] + t1s * d[:, 1]
+            ok0 = (disc > 0) & (t0 > 0) & (y0 >= ymin) & (y0 <= ymax)
+            ok1 = (disc > 0) & (t1s > 0) & (y1 >= ymin) & (y1 <= ymax)
+            # caps: intersect y = ymin/ymax planes inside the radius
+            with np.errstate(divide="ignore", invalid="ignore"):
+                tc0 = (ymin - o[1]) / d[:, 1]
+                tc1 = (ymax - o[1]) / d[:, 1]
+            def _cap_ok(tc):
+                px = o[0] + tc * d[:, 0] - cx
+                pz = o[2] + tc * d[:, 2] - cz
+                return (tc > 0) & (px * px + pz * pz <= r * r)
+            okc0, okc1 = _cap_ok(tc0), _cap_ok(tc1)
+            t_hit = np.full(len(d), np.inf)
+            for ok, tt in ((ok0, t0), (ok1, t1s), (okc0, tc0), (okc1, tc1)):
+                t_hit = np.where(ok & (tt < t_hit), tt, t_hit)
+            hit = np.isfinite(t_hit)
+        closer = hit & (t_hit < best_t) & (t_hit > 0)
+        best_t = np.where(closer, t_hit, best_t)
+        best_id = np.where(closer, b, best_id)
+    return best_t, best_id, o, d
+
+
+def _scene_normals(scene: ShapeScene, pts: np.ndarray,
+                   inst: np.ndarray) -> np.ndarray:
+    """Analytic outward surface normals at hit points. [N, 3]."""
+    n = np.zeros_like(pts)
+    n[:, 2] = -1.0                                   # background wall
+    for b in range(len(scene.kinds)):
+        m = inst == b
+        if not m.any():
+            continue
+        kind, p = int(scene.kinds[b]), scene.params[b]
+        if kind == BOX:
+            lo, hi = p[:3], p[3:]
+            q = pts[m]
+            dist = np.stack([q - lo, hi - q], -1).reshape(-1, 6)  # face dists
+            face = np.argmin(np.abs(dist), axis=1)
+            nb = np.zeros((len(q), 3))
+            axis, side = face % 3, face // 3
+            nb[np.arange(len(q)), axis] = np.where(side == 0, -1.0, 1.0)
+            n[m] = nb
+        elif kind == SPHERE:
+            nb = pts[m] - p[:3]
+            n[m] = nb / np.maximum(np.linalg.norm(nb, axis=1, keepdims=True),
+                                   1e-9)
+        else:
+            cx, cz, r, ymin, ymax = p[0], p[1], p[2], p[3], p[4]
+            q = pts[m]
+            nb = np.stack([q[:, 0] - cx, np.zeros(len(q)), q[:, 2] - cz], -1)
+            nb /= np.maximum(np.linalg.norm(nb, axis=1, keepdims=True), 1e-9)
+            on_cap_lo = np.abs(q[:, 1] - ymin) < 1e-4
+            on_cap_hi = np.abs(q[:, 1] - ymax) < 1e-4
+            nb[on_cap_lo] = [0.0, -1.0, 0.0]
+            nb[on_cap_hi] = [0.0, 1.0, 0.0]
+            n[m] = nb
+    return n
+
+
+def render_scene(scene: ShapeScene, Twc: np.ndarray,
+                 cam: CameraConfig) -> Tuple[np.ndarray, np.ndarray]:
+    """(depth [H, W] f32 camera z-depth, inst [H, W] i32 object-or--1)."""
+    H, W = cam.height, cam.width
+    t, inst, o, d = _raycast_scene(scene, Twc, cam)
+    pts_w = o + t[:, None] * d
+    Tcw = np.linalg.inv(Twc)
+    z = (pts_w @ Tcw[:3, :3].T + Tcw[:3, 3])[:, 2]
+    z = np.where(np.isfinite(t), z, 0.0)
+    return (z.reshape(H, W).astype(np.float32),
+            inst.reshape(H, W).astype(np.int32))
+
+
+def render_rgb_textured(scene: ShapeScene, Twc: np.ndarray, cam: CameraConfig,
+                        noise: float = 6.0, seed: int = 0) -> np.ndarray:
+    """Deterministic textured render: per-class appearance (hue + world-
+    anchored stripes/checker) modulated by analytic-normal Lambertian shading
+    plus a headlight term. uint8 [H, W, 3]. The appearance is a pure function
+    of the class id and world position — consistent across viewpoints, so a
+    detector can learn it and the engine sees stable objects."""
+    H, W = cam.height, cam.width
+    t, inst, o, d = _raycast_scene(scene, Twc, cam)
+    pts = o + t[:, None] * np.where(np.isfinite(t[:, None]), d, 0.0)
+    pts = np.where(np.isfinite(pts), pts, 0.0)
+    normals = _scene_normals(scene, pts, inst)
+
+    # base color + texture per pixel
+    color = np.empty((H * W, 3))
+    checker = (np.floor(pts[:, 0] * 4) + np.floor(pts[:, 1] * 4)) % 2
+    color[:] = (0.42 + 0.10 * checker)[:, None]      # background gray checker
+    for b in range(len(scene.kinds)):
+        m = inst == b
+        if not m.any():
+            continue
+        base, kind, freq = CLASS_APPEARANCE[int(scene.labels[b])]
+        q = pts[m]
+        if kind == 0:
+            tex = 0.5 + 0.5 * np.sin(q[:, 0] * freq)
+        elif kind == 1:
+            tex = 0.5 + 0.5 * np.sin(q[:, 1] * freq)
+        elif kind == 2:
+            tex = ((np.floor(q[:, 0] * freq / 6) +
+                    np.floor(q[:, 1] * freq / 6)) % 2)
+        else:
+            tex = np.ones(len(q)) * 0.5
+        color[m] = base[None, :] * (0.65 + 0.35 * tex)[:, None]
+
+    light = np.array([0.35, -0.5, -0.79])
+    light = light / np.linalg.norm(light)
+    lam = np.clip(normals @ light, 0.0, 1.0)
+    dn = d / np.maximum(np.linalg.norm(d, axis=1, keepdims=True), 1e-9)
+    head = np.clip(-(normals * dn).sum(1), 0.0, 1.0)
+    shade = 0.35 + 0.4 * lam + 0.25 * head
+    rgb = color * shade[:, None] * 255.0
+    rs = np.random.RandomState(seed)
+    rgb = rgb + rs.normal(0, noise, rgb.shape)
+    return np.clip(rgb, 0, 255).astype(np.uint8).reshape(H, W, 3)
+
+
+def detections_from_inst(inst: np.ndarray, labels: np.ndarray,
+                         max_gt: int, min_pixels: int = 24):
+    """inst-id image -> padded GT (boxes xyxy f32, labels i32, masks f32,
+    valid bool) for detector training."""
+    H, W = inst.shape
+    boxes = np.zeros((max_gt, 4), np.float32)
+    out_labels = np.zeros(max_gt, np.int32)
+    masks = np.zeros((max_gt, H, W), np.float32)
+    valid = np.zeros(max_gt, bool)
+    g = 0
+    for b in range(len(labels)):
+        m = inst == b
+        if m.sum() < min_pixels or g >= max_gt:
+            continue
+        ys, xs = np.nonzero(m)
+        boxes[g] = (xs.min(), ys.min(), xs.max() + 1, ys.max() + 1)
+        out_labels[g] = labels[b]
+        masks[g] = m
+        valid[g] = True
+        g += 1
+    return boxes, out_labels, masks, valid
+
+
+def random_viewpoint(rs: np.random.RandomState, target=(0.0, 0.0, 2.0),
+                     radius_range=(0.15, 0.6)) -> np.ndarray:
+    """Random camera-to-world pose looking roughly at `target`."""
+    r = rs.uniform(*radius_range)
+    az = rs.uniform(-0.6, 0.6)
+    el = rs.uniform(-0.35, 0.35)
+    center = np.array([r * np.sin(az), r * np.sin(el),
+                       -abs(r * np.cos(az) * np.cos(el)) * 0.3])
+    tgt = np.asarray(target) + rs.uniform(-0.2, 0.2, 3) * [1, 1, 0]
+    z = tgt - center
+    z = z / np.linalg.norm(z)
+    x = np.cross([0.0, 1.0, 0.0], z)
+    x = x / np.linalg.norm(x)
+    y = np.cross(z, x)
+    Twc = np.eye(4)
+    Twc[:3, :3] = np.stack([x, y, z], 1)
+    Twc[:3, 3] = center
+    return Twc.astype(np.float32)
+
+
+def make_detection_dataset(n_images: int, cam: CameraConfig, max_gt: int = 8,
+                           seed: int = 0, n_obj_range=(2, 6)):
+    """Pre-rendered detector training set over random shape scenes.
+
+    Returns a dict of stacked numpy arrays matching MaskRCNN.loss inputs:
+    image [N,H,W,3] f32 0..255, gt_boxes [N,G,4] xyxy, gt_labels [N,G],
+    gt_masks [N,G,H,W] f32, gt_valid [N,G] bool."""
+    rs = np.random.RandomState(seed)
+    H, W = cam.height, cam.width
+    out = dict(image=np.zeros((n_images, H, W, 3), np.float32),
+               gt_boxes=np.zeros((n_images, max_gt, 4), np.float32),
+               gt_labels=np.zeros((n_images, max_gt), np.int32),
+               gt_masks=np.zeros((n_images, max_gt, H, W), np.float32),
+               gt_valid=np.zeros((n_images, max_gt), bool))
+    for i in range(n_images):
+        scene = make_shape_scene(int(rs.randint(*n_obj_range)),
+                                 seed=int(rs.randint(1 << 30)))
+        Twc = random_viewpoint(rs)
+        _, inst = render_scene(scene, Twc, cam)
+        rgb = render_rgb_textured(scene, Twc, cam,
+                                  seed=int(rs.randint(1 << 30)))
+        b, l, m, v = detections_from_inst(inst, scene.labels, max_gt)
+        out["image"][i] = rgb
+        out["gt_boxes"][i], out["gt_labels"][i] = b, l
+        out["gt_masks"][i], out["gt_valid"][i] = m, v
+    return out

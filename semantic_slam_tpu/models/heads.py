@@ -64,15 +64,16 @@ def multilevel_roi_align(pyramid: Sequence[jnp.ndarray], boxes: jnp.ndarray,
 
 class BoxHead(nn.Module):
     num_classes: int = 81
+    head_dim: int = 1024
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, rois):
         """rois [N, 7, 7, C] -> (class logits [N, K], box deltas [N, K, 4])."""
         x = rois.reshape(rois.shape[0], -1).astype(self.dtype)
-        x = nn.relu(nn.Dense(1024, dtype=self.dtype,
+        x = nn.relu(nn.Dense(self.head_dim, dtype=self.dtype,
                              precision=jax.lax.Precision.DEFAULT)(x))
-        x = nn.relu(nn.Dense(1024, dtype=self.dtype,
+        x = nn.relu(nn.Dense(self.head_dim, dtype=self.dtype,
                              precision=jax.lax.Precision.DEFAULT)(x))
         logits = nn.Dense(self.num_classes, dtype=jnp.float32)(x)
         deltas = nn.Dense(self.num_classes * 4, dtype=jnp.float32)(x)
@@ -81,6 +82,7 @@ class BoxHead(nn.Module):
 
 class MaskHead(nn.Module):
     num_classes: int = 81
+    channels: int = 256
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -88,9 +90,10 @@ class MaskHead(nn.Module):
         """rois [N, 14, 14, C] -> mask logits [N, 28, 28, K]."""
         x = rois.astype(self.dtype)
         for i in range(4):
-            x = nn.relu(nn.Conv(256, (3, 3), padding="SAME", dtype=self.dtype,
+            x = nn.relu(nn.Conv(self.channels, (3, 3), padding="SAME",
+                                dtype=self.dtype,
                                 precision=jax.lax.Precision.DEFAULT)(x))
-        x = nn.ConvTranspose(256, (2, 2), (2, 2), dtype=self.dtype,
+        x = nn.ConvTranspose(self.channels, (2, 2), (2, 2), dtype=self.dtype,
                              precision=jax.lax.Precision.DEFAULT)(x)
         x = nn.relu(x)
         return nn.Conv(self.num_classes, (1, 1), dtype=jnp.float32)(x)

@@ -39,13 +39,35 @@ class MaskRCNN(nn.Module):
     pre_nms: int = 512
     post_nms: int = 128
     roi_samples: int = 64     # training rois per image
+    # width knobs — defaults are the R-50-FPN contract sizes
+    # (reference ``src/MaskRCNN.py.in``: caffe2 R-50-FPN config);
+    # MaskRCNN.synth() is the compact shippable-checkpoint variant.
+    backbone_width: int = 64
+    stage_sizes: Sequence[int] = (3, 4, 6, 3)
+    fpn_channels: int = 256
+    head_dim: int = 1024
+    mask_channels: int = 256
+
+    @classmethod
+    def synth(cls, **kw) -> "MaskRCNN":
+        """Compact variant trained on the procedural shape scenes
+        (io/synth.py): same architecture and COCO-81 output contract,
+        ~1/20 the parameters so the trained checkpoint is committable."""
+        base = dict(backbone_width=32, stage_sizes=(2, 2, 2, 2),
+                    fpn_channels=64, head_dim=256, mask_channels=64)
+        base.update(kw)
+        return cls(**base)
 
     def setup(self):
-        self.backbone = ResNet(dtype=self.dtype)
-        self.fpn = FPN(dtype=self.dtype)
-        self.rpn = RPNHead(dtype=self.dtype)
-        self.box_head = BoxHead(self.num_classes, dtype=self.dtype)
-        self.mask_head = MaskHead(self.num_classes, dtype=self.dtype)
+        self.backbone = ResNet(stage_sizes=tuple(self.stage_sizes),
+                               width=self.backbone_width, dtype=self.dtype)
+        self.fpn = FPN(out_channels=self.fpn_channels, dtype=self.dtype)
+        self.rpn = RPNHead(channels=self.fpn_channels, dtype=self.dtype)
+        self.box_head = BoxHead(self.num_classes, head_dim=self.head_dim,
+                                dtype=self.dtype)
+        self.mask_head = MaskHead(self.num_classes,
+                                  channels=self.mask_channels,
+                                  dtype=self.dtype)
 
     # ------------------------------------------------------------------
 
@@ -147,8 +169,13 @@ class MaskRCNN(nn.Module):
         iou = jnp.where(gt_valid[None, :], iou, 0.0)
         best_iou = jnp.max(iou, -1)
         best_gt = jnp.argmax(iou, -1)
-        pos = best_iou >= 0.5
-        neg = best_iou < 0.3
+        # standard assignment also forces each GT's own max-IoU anchor
+        # positive, else a GT whose best anchor is < 0.5 is never learned
+        best_anchor_per_gt = jnp.argmax(iou, 0)                  # [G]
+        forced = jnp.zeros(anchors.shape[0], bool).at[
+            best_anchor_per_gt].max(gt_valid)
+        pos = (best_iou >= 0.5) | forced
+        neg = (best_iou < 0.3) & ~forced
         cls_t = pos.astype(jnp.float32)
         cls_w = (pos | neg).astype(jnp.float32)
         rpn_cls_loss = jnp.sum(

@@ -18,11 +18,12 @@ ANCHOR_RATIOS = (0.5, 1.0, 2.0)
 
 class RPNHead(nn.Module):
     n_anchors: int = len(ANCHOR_RATIOS)
+    channels: int = 256
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, feats):
-        conv = nn.Conv(256, (3, 3), padding="SAME", dtype=self.dtype,
+        conv = nn.Conv(self.channels, (3, 3), padding="SAME", dtype=self.dtype,
                        precision=jax.lax.Precision.DEFAULT, name="conv")
         cls = nn.Conv(self.n_anchors, (1, 1), dtype=jnp.float32, name="cls")
         box = nn.Conv(self.n_anchors * 4, (1, 1), dtype=jnp.float32, name="box")

@@ -185,7 +185,11 @@ class LoopCloser:
         desc_pm1 = np.asarray(unpack_to_pm1(jnp.asarray(desc)))
         valid = s.kf_kp_valid[kf_slot]
         covis = s.covis_idx[kf_slot]
-        cands = self.db.detect_loop_candidates(kf_slot, desc_pm1, valid, covis)
+        # slot index != recency once culled slots recycle: recency is the
+        # tail of the insertion order
+        recent = set(getattr(s, "kf_order", [])[-20:])
+        cands = self.db.detect_loop_candidates(kf_slot, desc_pm1, valid,
+                                               covis, recent=recent)
         self.db.add(kf_slot, desc_pm1, valid)
         if not cands:
             return None
@@ -279,18 +283,24 @@ class LoopCloser:
                     continue
                 seen.add(key)
                 add_edge(int(j), k, 1.0)
-        # the loop edge with the measured relative Sim3:
-        # corrected current pose = S_cur @ inv(S_corr)
-        S_cur_corr = s.kf_pose[kf_cur] @ np.linalg.inv(np.asarray(S_corr))
+        # the loop edge with the measured relative Sim3: corrected current
+        # pose = S_cur @ inv(S_corr). The weight stands in for the multiple
+        # consistent LoopConnection edges upstream's CorrectLoop wires after
+        # fusing the two groups — a single unit-weight edge would have to
+        # fight every drift-consistent covisibility edge at equal strength.
+        S_corr_inv = np.linalg.inv(np.asarray(S_corr))
+        S_cur_corr = s.kf_pose[kf_cur] @ S_corr_inv
         S_rel = S_cur_corr @ np.linalg.inv(S_kf[kf_loop])
         edges_i.append(kf_loop)
         edges_j.append(kf_cur)
         S_meas.append(np.linalg.inv(S_rel))
-        w.append(5.0)
+        w.append(20.0)
 
         E = len(edges_i)
         fixed = np.zeros(cap, bool)
         fixed[kf_loop] = True
+        # CorrectLoop parity: the current keyframe starts corrected
+        S_kf[kf_cur] = S_cur_corr
         fixed[K:] = True
         prob = PoseGraphProblem(
             S_kf=jnp.asarray(S_kf),
@@ -299,7 +309,7 @@ class LoopCloser:
             S_meas=jnp.asarray(np.stack(S_meas).astype(np.float32)),
             edge_w=jnp.asarray(np.array(w, np.float32)),
             fixed=jnp.asarray(fixed))
-        S_opt = np.asarray(optimize_pose_graph(prob))
+        S_opt = np.asarray(optimize_pose_graph(prob, iters=24))
 
         # apply: poses back to SE3 (strip scale), correct points by their
         # first-observing keyframe's Sim3 update
@@ -321,5 +331,5 @@ class LoopCloser:
             X = s.pt_xyz[sel]
             Xc = X @ old[:3, :3].T + old[:3, 3]
             s.pt_xyz[sel] = Xc @ new_inv[:3, :3].T + new_inv[:3, 3]
-        s.Tcw = s.kf_pose[s.n_kf - 1].copy()
+        s.Tcw = s.kf_pose[kf_cur].copy()
         s.velocity = np.eye(4, dtype=np.float32)

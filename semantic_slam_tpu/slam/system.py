@@ -96,8 +96,12 @@ class SlamSystem:
         self.covis_w = np.zeros((self.K, mc.covis_max_neighbors), np.int32)
         self.kf_parent = np.full(self.K, -1, np.int32)
         self.loop_edges = np.full((self.K, 4), -1, np.int32)
-        self.n_kf = 0
+        self.n_kf = 0               # slot high-water mark
         self.n_pt = 0
+        # keyframe culling frees slots for reuse; insertion order is explicit
+        # (slot index no longer implies recency once slots recycle)
+        self.kf_free: List[int] = []
+        self.kf_order: List[int] = []
 
         # tracking state
         self.Tcw = np.eye(4, dtype=np.float32)
@@ -110,7 +114,7 @@ class SlamSystem:
         self.mono = False                  # set by track_monocular
         self._mono_ref: Optional[FrameInput] = None
         self.trajectory: List[Tuple[float, np.ndarray]] = []   # (t, Tcw)
-        self.kf_timestamps: List[float] = []
+        self.kf_timestamps = np.zeros(self.K, np.float64)      # per slot
         self.stats = {"n_tracked": [], "n_inliers": []}
 
         # device-resident map cache for the fast RGB-D path: re-uploaded
@@ -244,8 +248,12 @@ class SlamSystem:
         return self.Tcw.copy()
 
     def shutdown(self):
-        """Final global refinement hook (parity with System::Shutdown)."""
-        pass
+        """Final global refinement (System::Shutdown parity: the reference
+        joins its threads here and this is where a final GBA hooks — the
+        repo's synchronous design has nothing to join, so it runs the
+        refinement directly)."""
+        if self.n_kf >= 2:
+            self.global_bundle_adjust(iters=12)
 
     # ------------------------------------------------------------------
     # place recognition / relocalization
@@ -478,10 +486,15 @@ class SlamSystem:
             self.last_kf_id = kf
             self.frames_since_kf = 0
             self.ref_kf_inliers = n_inl
+            # LocalMapping order parity (reference LocalMapping::Run):
+            # MapPointCulling -> CreateNewMapPoints -> SearchInNeighbors
+            # (fuse) -> LocalBA -> KeyFrameCulling
             if self.mono:
                 self._create_points_mono(kf)
+            self._fuse_map_points(kf)
             self._local_ba()
             self._cull_points()
+            self._cull_keyframes()
             if getattr(self, "_loop_closer", None) is not None:
                 closed = self._loop_closer.on_keyframe(kf)
                 if closed is not None and getattr(self, "_loop_run_gba", False):
@@ -493,10 +506,19 @@ class SlamSystem:
     def _insert_keyframe(self, fi: FrameInput,
                          match_pt: Optional[np.ndarray] = None,
                          inlier_kp: Optional[np.ndarray] = None) -> int:
-        if self.n_kf >= self.K:
-            raise RuntimeError("keyframe capacity exceeded")
-        k = self.n_kf
-        self.n_kf += 1
+        if self.n_kf < self.K:
+            k = self.n_kf
+            self.n_kf += 1
+        else:
+            if not self.kf_free:
+                # forced compaction (SURVEY §7.4): capacity is a static-shape
+                # budget, not an upstream-style unbounded heap — evict the
+                # most redundant unprotected keyframe
+                self._force_free_slot()
+            if not self.kf_free:
+                raise RuntimeError("keyframe capacity exceeded")
+            k = self.kf_free.pop()      # reuse a slot freed by KF culling
+        self.kf_order.append(k)
         self.kf_valid[k] = True
         self.kf_pose[k] = self.Tcw
         self.kf_frame_id[k] = self.frame_count
@@ -505,8 +527,8 @@ class SlamSystem:
         self.kf_kp_valid[k] = fi.valid
         self.kf_desc[k] = fi.desc_u8
         self.kf_kp_depth[k] = fi.depth
-        self.kf_timestamps.append(fi.timestamp)
-        if self.n_kf >= 2:
+        self.kf_timestamps[k] = fi.timestamp
+        if len(self.kf_order) >= 2:
             self.kf_parent[k] = self.last_kf_id
 
         # 1) add observations for tracked map points
@@ -697,10 +719,10 @@ class SlamSystem:
     # --- local BA -------------------------------------------------------
 
     def _local_ba(self):
-        if self.n_kf < 2:
+        if len(self.kf_order) < 2:
             return
-        k_new = self.n_kf - 1
-        free_ids = np.arange(max(0, self.n_kf - self.BA_FREE), self.n_kf)
+        k_new = self.kf_order[-1]
+        free_ids = np.asarray(self.kf_order[-self.BA_FREE:], np.int32)
         # fixed support: covisible partners of free keyframes
         partners = set()
         for k in free_ids:
@@ -738,9 +760,10 @@ class SlamSystem:
         pose_l[: len(cams)] = self.kf_pose[cams]
         xyz_l = np.zeros((Pl, 3), np.float32)
         xyz_l[: len(pt_sel)] = self.pt_xyz[pt_sel]
+        gauge = self.kf_order[0]
         cam_fixed = np.ones(Kl, bool)
         for i, g in enumerate(cams):
-            cam_fixed[i] = g in fixed_ids or g == 0
+            cam_fixed[i] = g in fixed_ids or g == gauge
         pt_valid_l = np.zeros(Pl, bool)
         pt_valid_l[: len(pt_sel)] = True
 
@@ -791,8 +814,8 @@ class SlamSystem:
                 o_out += 1
         pose = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))
         pose[:K] = self.kf_pose[:K]
-        cam_fixed = np.zeros(K, bool)
-        cam_fixed[0] = True
+        cam_fixed = ~self.kf_valid[:K]         # culled slots stay put
+        cam_fixed[self.kf_order[0] if self.kf_order else 0] = True
         pt_valid_l = np.zeros(Pl, bool)
         pt_valid_l[: len(pt_sel)] = True
         xyz = np.zeros((Pl, 3), np.float32)
@@ -803,9 +826,12 @@ class SlamSystem:
             obs_w=jnp.asarray(obs_w), cam_fixed=jnp.asarray(cam_fixed),
             pt_valid=jnp.asarray(pt_valid_l))
         res = bundle_adjust(self.intr, prob, iters=iters, trim_rounds=2)
-        self.kf_pose[:K] = np.asarray(res.kf_pose)[:K]
+        new_pose = np.asarray(res.kf_pose)[:K]
+        upd = self.kf_valid[:K]
+        self.kf_pose[:K][upd] = new_pose[upd]
         self.pt_xyz[pt_sel] = np.asarray(res.pt_xyz)[: len(pt_sel)]
-        self.Tcw = self.kf_pose[self.n_kf - 1].copy()
+        if self.kf_order:
+            self.Tcw = self.kf_pose[self.kf_order[-1]].copy()
         self._touch_map()
 
     # --- point culling (ORB-SLAM2 MapPointCulling semantics) -------------
@@ -816,6 +842,207 @@ class SlamSystem:
         # a point must gather >= 2 keyframe observations within 3 keyframes
         weak = self.pt_valid & (age >= 3) & (self.pt_obs_n < 2)
         self.pt_valid[weak] = False
+        self._touch_map()
+
+    # --- map-point fusion (LocalMapping::SearchInNeighbors semantics) ----
+
+    def _kp_point_map(self, j: int) -> np.ndarray:
+        """[N] i32: map-point slot bound to each keypoint of keyframe j."""
+        out = np.full(self.N, -1, np.int32)
+        hit = self.pt_valid[:, None] & (self.pt_obs_kf == j)     # [P, O]
+        p_idx, o_idx = np.nonzero(hit)
+        out[self.pt_obs_kp[p_idx, o_idx]] = p_idx
+        return out
+
+    def _observes(self, p: int, j: int) -> bool:
+        n = self.pt_obs_n[p]
+        return bool((self.pt_obs_kf[p, :n] == j).any())
+
+    def _add_observation(self, p: int, j: int, kp: int) -> None:
+        n = self.pt_obs_n[p]
+        if n < self.O:
+            self.pt_obs_kf[p, n] = j
+            self.pt_obs_kp[p, n] = kp
+            self.pt_obs_n[p] = n + 1
+
+    def _replace_point(self, loser: int, winner: int) -> None:
+        """MapPoint::Replace semantics: merge the loser's observations and
+        found/visible counters into the winner, invalidate the loser
+        (reference mirror: ObjectPoint.cpp:127-147's MapPoint handling)."""
+        for o in range(self.pt_obs_n[loser]):
+            g, kp = int(self.pt_obs_kf[loser, o]), int(self.pt_obs_kp[loser, o])
+            if g >= 0 and not self._observes(winner, g):
+                self._add_observation(winner, g, kp)
+        self.pt_found[winner] += self.pt_found[loser]
+        self.pt_visible[winner] += self.pt_visible[loser]
+        self.pt_valid[loser] = False
+
+    def _fuse_into(self, src_pts: np.ndarray, j: int,
+                   radius: float = 3.0, max_dist: int = 50) -> int:
+        """Project map points `src_pts` into keyframe j; matched keypoints
+        already bound to another point trigger a fuse (keep the
+        better-observed point), unbound ones gain an observation.
+
+        The projection window scales with the keypoint's pyramid level
+        (ORB-SLAM2 Fuse: th * scaleFactor^level)."""
+        from semantic_slam_tpu.ops.match import match_descriptors
+        from semantic_slam_tpu.ops.orb import unpack_to_pm1
+
+        if len(src_pts) == 0:
+            return 0
+        cam = self.cfg.camera
+        Tj = self.kf_pose[j]
+        pc = self.pt_xyz[src_pts] @ Tj[:3, :3].T + Tj[:3, 3]
+        z = pc[:, 2]
+        zs = np.maximum(z, 1e-6)
+        u = cam.fx * pc[:, 0] / zs + cam.cx
+        v = cam.fy * pc[:, 1] / zs + cam.cy
+        vis = (z > 0.05) & (u >= 5) & (u < cam.width - 5) & \
+              (v >= 5) & (v < cam.height - 5)
+        cand = src_pts[vis]
+        if len(cand) == 0:
+            return 0
+        uv_proj = np.stack([u[vis], v[vis]], -1).astype(np.float32)
+        kp_uv = self.kf_kp_uv[j]
+        kp_r = radius * 1.2 ** self.kf_kp_level[j].astype(np.float32)
+        d2 = ((uv_proj[:, None, :] - kp_uv[None, :, :]) ** 2).sum(-1)
+        mask = d2 <= (kp_r[None, :] ** 2)
+        res = match_descriptors(
+            unpack_to_pm1(jnp.asarray(self.pt_desc[cand])),
+            unpack_to_pm1(jnp.asarray(self.kf_desc[j])),
+            jnp.ones(len(cand), bool), jnp.asarray(self.kf_kp_valid[j]),
+            jnp.asarray(mask), max_dist=max_dist, ratio=0.9, mutual=True)
+        midx = np.asarray(res.idx)
+        kp_map = self._kp_point_map(j)
+        n_fused = 0
+        for ci in np.nonzero(midx >= 0)[0]:
+            p = int(cand[ci])
+            if not self.pt_valid[p]:
+                continue        # may have lost an earlier fuse this pass
+            kp = int(midx[ci])
+            q = int(kp_map[kp])
+            if q == p:
+                continue
+            if q >= 0 and self.pt_valid[q]:
+                # duplicate: keep the better-observed point
+                w, l = (p, q) if self.pt_obs_n[p] >= self.pt_obs_n[q] else (q, p)
+                self._replace_point(l, w)
+                kp_map[kp] = w
+                n_fused += 1
+            elif not self._observes(p, j):
+                self._add_observation(p, j, kp)
+                kp_map[kp] = p
+        return n_fused
+
+    def _fuse_map_points(self, k: int) -> None:
+        """Fuse duplicated map points across covisible keyframes
+        (LocalMapping::SearchInNeighbors, described at reference
+        ``include/ORB_SLAM2/System.h:205-206``): project k's points into its
+        neighbours and the neighbours' points back into k."""
+        neighbors = [int(j) for j in self.covis_idx[k][:5]
+                     if j >= 0 and self.kf_valid[j]]
+        if not neighbors:
+            return
+        pts_k = np.nonzero(self.pt_valid
+                           & (self.pt_obs_kf == k).any(axis=1))[0]
+        changed = 0
+        for j in neighbors:
+            changed += self._fuse_into(pts_k, j)
+        neigh_sees = np.isin(self.pt_obs_kf, neighbors).any(axis=1)
+        pts_n = np.nonzero(self.pt_valid & neigh_sees)[0]
+        changed += self._fuse_into(pts_n, k)
+        if changed:
+            self._update_covisibility(k)
+            self._touch_map()
+
+    # --- keyframe culling (LocalMapping::KeyFrameCulling semantics) ------
+
+    def _cull_keyframes(self, redundancy: float = 0.9,
+                        max_cull_per_call: int = 3) -> int:
+        """Cull local keyframes >= 90% of whose points are seen by >= 3
+        other keyframes at the same or finer scale (reference behavior:
+        redundant-KF removal with spanning-tree repair; System.cc:371-375
+        consumes the culled flags). Freed slots recycle via kf_free."""
+        if len(self.kf_order) < 4:
+            return 0
+        k_new = self.kf_order[-1]
+        protected = set(self.kf_order[:1] + self.kf_order[-3:])
+        n_culled = 0
+        for j in [int(x) for x in self.covis_idx[k_new] if x >= 0]:
+            if n_culled >= max_cull_per_call:
+                break
+            if j in protected or not self.kf_valid[j]:
+                continue
+            if (self.loop_edges[j] >= 0).any():
+                continue                       # never cull loop anchors
+            if self._kf_redundancy(j) >= redundancy:
+                self._remove_keyframe(j)
+                n_culled += 1
+        return n_culled
+
+    def _kf_redundancy(self, j: int) -> float:
+        """Fraction of keyframe j's points seen by >= 3 other keyframes at
+        the same or finer pyramid scale (the KeyFrameCulling criterion)."""
+        at_j = self.pt_obs_kf == j             # [P, O]
+        pts = np.nonzero(self.pt_valid & at_j.any(axis=1))[0]
+        if len(pts) < 10:
+            return 0.0
+        kp_j = self.pt_obs_kp[
+            pts[:, None], np.argmax(at_j[pts], axis=1)[:, None]][:, 0]
+        lvl_j = self.kf_kp_level[j, kp_j]
+        okf = self.pt_obs_kf[pts]
+        okp = np.clip(self.pt_obs_kp[pts], 0, self.N - 1)
+        lvls = self.kf_kp_level[np.clip(okf, 0, self.K - 1), okp]
+        ok = ((okf >= 0) & self.kf_valid[np.clip(okf, 0, self.K - 1)]
+              & (okf != j) & (lvls <= lvl_j[:, None] + 1))
+        return float((ok.sum(axis=1) >= 3).mean())
+
+    def _force_free_slot(self) -> None:
+        """Capacity-pressure compaction: evict the single most redundant
+        unprotected keyframe even when it misses the 0.9 culling bar."""
+        protected = set(self.kf_order[:1] + self.kf_order[-3:])
+        best, best_r = -1, -1.0
+        for j in self.kf_order:
+            if j in protected or (self.loop_edges[j] >= 0).any():
+                continue
+            r = self._kf_redundancy(j)
+            if r > best_r:
+                best, best_r = j, r
+        if best >= 0:
+            self._remove_keyframe(best)
+
+    def _remove_keyframe(self, j: int) -> None:
+        """Erase keyframe j: drop its observations, repair the spanning
+        tree, clear covisibility, free the slot for reuse."""
+        hit = (self.pt_obs_kf == j).any(axis=1)
+        for p in np.nonzero(hit)[0]:
+            n = self.pt_obs_n[p]
+            keep = self.pt_obs_kf[p, :n] != j
+            kfs = self.pt_obs_kf[p, :n][keep]
+            kps = self.pt_obs_kp[p, :n][keep]
+            self.pt_obs_kf[p] = -1
+            self.pt_obs_kp[p] = -1
+            self.pt_obs_kf[p, :len(kfs)] = kfs
+            self.pt_obs_kp[p, :len(kps)] = kps
+            self.pt_obs_n[p] = len(kfs)
+        # spanning-tree repair: children inherit j's parent
+        children = np.nonzero(self.kf_parent == j)[0]
+        self.kf_parent[children] = self.kf_parent[j]
+        self.kf_parent[j] = -1
+        # covisibility: remove j everywhere
+        drop = self.covis_idx == j
+        self.covis_idx[drop] = -1
+        self.covis_w[drop] = 0
+        self.covis_idx[j] = -1
+        self.covis_w[j] = 0
+        self.loop_edges[j] = -1
+        self.kf_valid[j] = False
+        if getattr(self, "_kfdb", None) is not None:
+            self._kfdb.active[j] = False
+        if getattr(self, "_loop_closer", None) is not None:
+            self._loop_closer.db.active[j] = False
+        self.kf_order.remove(j)
+        self.kf_free.append(j)
         self._touch_map()
 
     # ------------------------------------------------------------------

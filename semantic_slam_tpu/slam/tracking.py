@@ -174,7 +174,12 @@ def track_with_map(
     cxyz = pt_xyz[cand]
     cuv = uv_proj[cand]
 
-    mask = window_mask(cuv, kp_uv, radius)
+    # scale-aware search window (ORB-SLAM2 SearchByProjection: radius grows
+    # as th * scaleFactor^octave — the keypoint's pyramid level sets the
+    # localization uncertainty; knobs from config/TUM3.yaml:41-54)
+    kp_r = radius * 1.2 ** kp_level.astype(jnp.float32)          # [N]
+    d2 = jnp.sum((cuv[:, None, :] - kp_uv[None, :, :]) ** 2, axis=-1)
+    mask = d2 <= kp_r[None, :] ** 2
     res = match_descriptors(cdesc, kp_desc_pm1, cvis, kp_valid,
                             mask, max_dist=max_dist, ratio=0.95, mutual=True)
     matched = res.idx >= 0                                   # [C]

@@ -123,7 +123,7 @@ class KeyFrameDatabase:
 
     def detect_loop_candidates(self, kf_slot: int, desc_pm1, valid,
                                covis_neighbors, min_score_ratio: float = 0.75,
-                               min_gap: int = 20):
+                               min_gap: int = 20, recent=None):
         """ORB-SLAM2 DetectLoopCandidates semantics: the minimum BoW score
         against covisible neighbors sets the bar; candidates must beat
         ratio*bar, not be covisible, and be temporally distant."""
@@ -138,7 +138,9 @@ class KeyFrameDatabase:
         for k in np.argsort(-scores):
             if scores[k] <= max(bar * min_score_ratio, 1e-3):
                 break
-            if k in neigh or abs(int(k) - kf_slot) < min_gap:
+            too_close = (int(k) in recent if recent is not None
+                         else abs(int(k) - kf_slot) < min_gap)
+            if k in neigh or too_close:
                 continue
             cand.append((int(k), float(scores[k])))
         return cand
