@@ -31,6 +31,10 @@ def main():
     ap.add_argument("--categories", default="/root/reference/config/categories.txt")
     ap.add_argument("--out", default="result/objects")
     ap.add_argument("--synthetic", type=int, default=0)
+    ap.add_argument("--model", action="store_true",
+                    help="synthetic mode: drive the engine with the trained "
+                         "Mask R-CNN on textured renders instead of the "
+                         "ground-truth oracle")
     ap.add_argument("--viz", action="store_true")
     args = ap.parse_args()
 
@@ -47,15 +51,24 @@ def main():
         from semantic_slam_tpu.io import synth
         import jax.numpy as jnp
         from semantic_slam_tpu.geometry import se3_inverse
-        scene = synth.make_box_scene(3, seed=1)
-        det = OracleDetector(scene, cfg.camera, max_masks=8)
+        if args.model:
+            scene = synth.make_shape_scene(3, seed=1)
+            det = MaskRCNNDetector(max_masks=cfg.engine.max_masks)
+        else:
+            scene = synth.make_box_scene(3, seed=1)
+            det = OracleDetector(scene, cfg.camera, max_masks=8)
         engine = Engine(cats, cfg, detector=det)
         traj_tcw = synth.orbit_trajectory(args.synthetic, radius=0.3,
                                           look_at=(0, 0, 2.0))
         traj_twc = np.asarray(se3_inverse(jnp.asarray(traj_tcw)))
         for i in range(len(traj_tcw)):
             depth, _ = synth.render_depth(scene, traj_twc[i], cfg.camera)
-            dets = det.predict(traj_twc[i])
+            if args.model:
+                rgb = synth.render_rgb_textured(scene, traj_twc[i],
+                                                cfg.camera, seed=i)
+                dets = det.predict(rgb)
+            else:
+                dets = det.predict(traj_twc[i])
             print(f"KF {i}: {int(dets.valid.sum())} detections")
             engine.run(None, depth, kf_id=i, Tcw=traj_tcw[i], detections=dets)
     else:

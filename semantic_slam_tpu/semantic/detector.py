@@ -60,7 +60,7 @@ class OracleDetector:
 
         _, inst = synth.render_depth(self.scene, Twc, self.cam)
         boxes, masks, labels, scores = [], [], [], []
-        for b in range(len(self.scene.boxes)):
+        for b in range(len(self.scene.labels)):
             m = inst == b
             if m.sum() < 4:
                 continue
@@ -78,18 +78,40 @@ class OracleDetector:
                               self.max_masks)
 
 
+def default_checkpoint_path() -> str:
+    import os
+
+    return os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "data", "maskrcnn_synth.npz")
+
+
 class MaskRCNNDetector:
     """Flax Mask R-CNN inference wrapper (models/maskrcnn.py).
 
     Output contract parity with the reference bridge: score threshold 0.8,
-    score-sorted, COCO-81 ids."""
+    score-sorted, COCO-81 ids (``src/MaskRCNN.py.in``). By default loads the
+    shipped compact checkpoint trained in-framework on the procedural shape
+    scenes (tools/train_maskrcnn.py) — this environment has no COCO weights.
+    The checkpoint is trained at 240x320; inputs at an integer multiple of
+    that are mean-pooled down and the detections scaled back up."""
 
     def __init__(self, model=None, params=None, max_masks: int = 16,
-                 score_threshold: float = 0.8, rng_seed: int = 0):
+                 score_threshold: float = 0.8, rng_seed: int = 0,
+                 checkpoint_path=None):
+        import os
+
         import jax
 
+        from semantic_slam_tpu.io.checkpoint import load_params
         from semantic_slam_tpu.models.maskrcnn import MaskRCNN, init_params
 
+        self.infer_hw = None
+        if model is None and params is None:
+            path = checkpoint_path or default_checkpoint_path()
+            if os.path.exists(path):
+                model = MaskRCNN.synth()
+                params = load_params(path)
+                self.infer_hw = (240, 320)
         self.model = model or MaskRCNN()
         if params is None:
             params = init_params(self.model, jax.random.PRNGKey(rng_seed))
@@ -99,18 +121,27 @@ class MaskRCNNDetector:
         self._infer = None
 
     def predict(self, rgb: np.ndarray) -> Detections:
-        import jax
         import jax.numpy as jnp
 
         from semantic_slam_tpu.models.maskrcnn import run_inference
 
+        rgb = np.asarray(rgb, np.float32)
         H, W = rgb.shape[:2]
+        sy = sx = 1
+        if self.infer_hw is not None:
+            th, tw = self.infer_hw
+            if H % th == 0 and W % tw == 0 and (H // th) == (W // tw):
+                sy, sx = H // th, W // tw
+                if sy > 1:
+                    rgb = rgb.reshape(th, sy, tw, sx, 3).mean((1, 3))
         out = run_inference(self.model, self.params, jnp.asarray(rgb),
                             max_detections=self.max_masks)
-        boxes = np.asarray(out["boxes"])
+        boxes = np.asarray(out["boxes"]) * (sx, sy, sx, sy)
         masks = np.asarray(out["masks"]) > 0.5
+        if sy > 1:
+            masks = np.repeat(np.repeat(masks, sy, axis=1), sx, axis=2)
         labels = np.asarray(out["labels"])
-        scores = np.asarray(out["scores"])
+        scores = np.asarray(out["scores"]) * np.asarray(out["valid"])
         keep = scores >= self.score_threshold
         return pad_detections(boxes[keep], masks[keep], labels[keep],
                               scores[keep], self.max_masks)
