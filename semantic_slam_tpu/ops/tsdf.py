@@ -431,6 +431,61 @@ def tsdf_surface_points(vol: TsdfVolume, *, tsdf_thresh: float = 0.2,
     return pts, valid
 
 
+def _clamped_central_diff(t: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """np.gradient-style derivative: central differences inside, one-sided
+    at the array edges. Used for TSDF surface normals."""
+    D = t.shape[axis]
+    tp = jnp.concatenate([jax.lax.slice_in_dim(t, 1, D, axis=axis),
+                          jax.lax.slice_in_dim(t, D - 1, D, axis=axis)], axis)
+    tm = jnp.concatenate([jax.lax.slice_in_dim(t, 0, 1, axis=axis),
+                          jax.lax.slice_in_dim(t, 0, D - 1, axis=axis)], axis)
+    den = jnp.full((D,), 2.0, t.dtype).at[0].set(1.0).at[D - 1].set(1.0)
+    shape = [1, 1, 1]
+    shape[axis] = D
+    return (tp - tm) / den.reshape(shape)
+
+
+@functools.partial(jax.jit, static_argnames=("max_points", "voxel_size"))
+def tsdf_surface_points_normals(vol: TsdfVolume, *, tsdf_thresh: float = 0.2,
+                                weight_thresh: float = 0.9,
+                                max_points: int = 262144,
+                                voxel_size: float = 0.004):
+    """tsdf_surface_points + per-point surface normals from the TSDF
+    gradient (central differences; the neighbor access along z is what the
+    sharded variant's ppermute halo exchange provides across slab
+    boundaries — parallel/stage2.tsdf_surface_sharded).
+
+    Returns (points [max_points, 3] world, normals [max_points, 3] world,
+    valid [max_points])."""
+    D = vol.tsdf.shape[0]
+    surf = (jnp.abs(vol.tsdf) < tsdf_thresh) & (vol.weight > weight_thresh)
+    gz = _clamped_central_diff(vol.tsdf, 0)       # volume is [z, y, x]
+    gy = _clamped_central_diff(vol.tsdf, 1)
+    gx = _clamped_central_diff(vol.tsdf, 2)
+    g = jnp.stack([gx, gy, gz], -1)
+    nrm = jnp.linalg.norm(g, axis=-1, keepdims=True)
+    g = g / jnp.where(nrm > 1e-12, nrm, 1.0)
+
+    flat = surf.reshape(-1)
+    from semantic_slam_tpu.ops.compact import compact_indices
+    k = min(max_points, flat.shape[0])
+    idx, valid = compact_indices(flat, k)
+    iz = idx // (D * D)
+    iy = (idx // D) % D
+    ix = idx % D
+    voxel = (vol.origin[None, :] +
+             jnp.stack([ix, iy, iz], -1).astype(vol.tsdf.dtype) * voxel_size)
+    R = vol.base2world[:3, :3]
+    t = vol.base2world[:3, 3]
+    pts = voxel @ R.T + t
+    nrms = g.reshape(-1, 3)[idx] @ R.T
+    if k < max_points:
+        pts = jnp.pad(pts, ((0, max_points - k), (0, 0)))
+        nrms = jnp.pad(nrms, ((0, max_points - k), (0, 0)))
+        valid = jnp.pad(valid, (0, max_points - k))
+    return pts, nrms, valid
+
+
 def tsdf_integrate_reference(tsdf, weight, origin, base2world, depth, cam2world,
                              K, voxel_size, trunc_margin, max_depth=6.0):
     """NumPy oracle with the exact per-voxel loop semantics of tsdf.cu

@@ -148,3 +148,81 @@ def tsdf_integrate_sharded(mesh: Mesh, tsdf: jnp.ndarray, weight: jnp.ndarray,
         out_specs=(P("data", None, None), P("data", None, None)),
         check_vma=False)
     return fn(tsdf, weight, depth, cam2world)
+
+
+def tsdf_surface_sharded(mesh: Mesh, tsdf: jnp.ndarray, weight: jnp.ndarray,
+                         origin: jnp.ndarray, base2world: jnp.ndarray, *,
+                         voxel_size: float, tsdf_thresh: float = 0.2,
+                         weight_thresh: float = 0.9,
+                         max_points_per_shard: int = 32768):
+    """Surface extraction from the z-slab-sharded volume with a one-voxel
+    halo exchange per slab boundary (SURVEY §2.3 "halo exchange via ppermute
+    ring"): surface thresholding is voxel-local, but the central-difference
+    TSDF gradient that orients each surface point needs the z±1 planes, so
+    each device ppermutes its boundary planes to its ring neighbours.
+
+    Results match ops.tsdf.tsdf_surface_points_normals on the gathered
+    volume (same arithmetic; global z-edges keep their one-sided stencil).
+
+    Returns (points [n_shards, M, 3] world, normals [n_shards, M, 3],
+    valid [n_shards, M], n_surface [n_shards] — the true per-shard surface
+    count so callers can detect M-truncation; nothing is dropped silently).
+    """
+    from semantic_slam_tpu.ops.compact import compact_indices
+    from semantic_slam_tpu.ops.tsdf import _clamped_central_diff
+
+    D = tsdf.shape[1]
+    Dz = tsdf.shape[0]
+    n_shards = mesh.shape["data"]
+    slab = Dz // n_shards
+    fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+    bwd = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+    M = max_points_per_shard
+
+    def shard_fn(ts, wt):
+        k = jax.lax.axis_index("data")
+        z0 = k * slab
+        # ---- halo exchange: my first plane goes to the slab below (they
+        # see it as their z+1 halo); my last plane goes to the slab above.
+        halo_above = jax.lax.ppermute(ts[-1:], "data", fwd)   # from k-1: its last plane
+        halo_below = jax.lax.ppermute(ts[:1], "data", bwd)    # from k+1: its first plane
+        ext = jnp.concatenate([halo_above, ts, halo_below], 0)  # [slab+2, D, D]
+
+        # z-derivative with the halo planes; global edges fall back to the
+        # one-sided stencil of the single-device extractor
+        gz = (ext[2:] - ext[:-2]) / 2.0
+        zi = z0 + jnp.arange(slab)
+        first = zi == 0
+        last = zi == Dz - 1
+        one_sided_lo = ts[jnp.minimum(jnp.arange(slab) + 1, slab - 1)] - ts
+        one_sided_hi = ts - ts[jnp.maximum(jnp.arange(slab) - 1, 0)]
+        gz = jnp.where(first[:, None, None], one_sided_lo, gz)
+        gz = jnp.where(last[:, None, None], one_sided_hi, gz)
+        gy = _clamped_central_diff(ts, 1)
+        gx = _clamped_central_diff(ts, 2)
+        g = jnp.stack([gx, gy, gz], -1)
+        nrm = jnp.linalg.norm(g, axis=-1, keepdims=True)
+        g = g / jnp.where(nrm > 1e-12, nrm, 1.0)
+
+        surf = (jnp.abs(ts) < tsdf_thresh) & (wt > weight_thresh)
+        flat = surf.reshape(-1)
+        idx, valid = compact_indices(flat, min(M, flat.shape[0]))
+        iz = idx // (D * D) + z0
+        iy = (idx // D) % D
+        ix = idx % D
+        voxel = (origin[None, :] +
+                 jnp.stack([ix, iy, iz], -1).astype(ts.dtype) * voxel_size)
+        R = base2world[:3, :3]
+        t = base2world[:3, 3]
+        pts = voxel @ R.T + t
+        nrms = g.reshape(-1, 3)[idx] @ R.T
+        n_surf = jnp.sum(flat).astype(jnp.int32)
+        return (pts[None], nrms[None], valid[None], n_surf[None])
+
+    fn = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P("data", None, None), P("data", None, None)),
+        out_specs=(P("data", None, None), P("data", None, None),
+                   P("data", None), P("data")),
+        check_vma=False)
+    return fn(tsdf, weight)

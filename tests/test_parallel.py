@@ -84,6 +84,46 @@ def test_don_extract_batch_sharded():
     assert cids.shape == (8, CAM.height, CAM.width)
 
 
+def test_tsdf_surface_sharded_matches_single_device():
+    """z-slab surface extraction with ppermute halo exchange: the union of
+    per-shard (point, normal) outputs must equal the single-device
+    extractor bit-for-bit (the halo makes the cross-slab z-gradient exact)."""
+    from semantic_slam_tpu.ops.tsdf import (TsdfVolume, tsdf_integrate,
+                                            tsdf_surface_points_normals)
+
+    mesh = make_mesh(8, model_parallel=1)
+    D = 32
+    # a sloped depth surface so the surface band crosses slab boundaries
+    u = np.linspace(0, 1, CAM.width, dtype=np.float32)
+    depth = np.broadcast_to(1.4 + 0.8 * u, (CAM.height, CAM.width)).copy()
+    origin = np.array([-0.8, -0.8, 1.0], np.float32)
+    b2w = np.eye(4, dtype=np.float32)
+    vs, tm = 0.05, 0.25
+
+    vol = TsdfVolume.create(origin, b2w, dim=D)
+    vol = tsdf_integrate(vol, jnp.asarray(depth), jnp.eye(4), INTR,
+                         voxel_size=vs, trunc_margin=tm)
+    pts1, nrm1, val1 = tsdf_surface_points_normals(
+        vol, max_points=D ** 3, voxel_size=vs)
+
+    with mesh:
+        pts8, nrm8, val8, n_surf = stage2.tsdf_surface_sharded(
+            mesh, vol.tsdf, vol.weight, jnp.asarray(origin),
+            jnp.asarray(b2w), voxel_size=vs, max_points_per_shard=4096)
+    pts8, nrm8, val8 = map(np.asarray, (pts8, nrm8, val8))
+    n_surf = np.asarray(n_surf)
+    assert (n_surf <= 4096).all()       # no shard truncated in this scene
+    got_p = np.concatenate([pts8[s][val8[s]] for s in range(8)])
+    got_n = np.concatenate([nrm8[s][val8[s]] for s in range(8)])
+    exp_p = np.asarray(pts1)[np.asarray(val1)]
+    exp_n = np.asarray(nrm1)[np.asarray(val1)]
+    assert len(got_p) == len(exp_p) > 100
+    # same voxels in the same order; coords agree to 1 ulp (XLA fusion
+    # layout differs between the slab and full-volume programs)
+    np.testing.assert_allclose(got_p, exp_p, atol=1e-6)
+    np.testing.assert_allclose(got_n, exp_n, atol=1e-6)
+
+
 def test_object_evidence_batch_psum():
     from semantic_slam_tpu.semantic import objects as O
 
