@@ -103,6 +103,44 @@ def observe(scene: SynthScene, Tcw: np.ndarray, cam: CameraConfig,
                 valid=np.arange(max_kp) < n, landmark_id=lid)
 
 
+def make_ring_scene(n_points: int = 6000, wall_radius: float = 4.5,
+                    height: float = 1.2, thickness: float = 0.3,
+                    seed: int = 0) -> SynthScene:
+    """Landmarks on a cylindrical corridor wall: the exploration substrate
+    for drift/loop-closure tests — a camera circling inside sees only a
+    local arc of the wall, so new territory keeps entering the map and pose
+    error can accumulate until the lap closes."""
+    rs = np.random.RandomState(seed)
+    th = rs.uniform(0, 2 * np.pi, n_points)
+    r = wall_radius + rs.uniform(-thickness / 2, thickness / 2, n_points)
+    y = rs.uniform(-height / 2, height / 2, n_points)
+    pts = np.stack([r * np.sin(th), y, r * np.cos(th)], -1).astype(np.float32)
+    bits = rs.randint(0, 2, size=(n_points, 256)).astype(bool)
+    desc_pm1 = np.where(bits, 1, -1).astype(np.int8)
+    weights = 2 ** np.arange(8)
+    desc_u8 = (bits.reshape(n_points, 32, 8) * weights).sum(-1).astype(np.uint8)
+    return SynthScene(pts, desc_pm1, desc_u8)
+
+
+def ring_trajectory(n_frames: int, radius: float = 3.5,
+                    laps: float = 1.0) -> np.ndarray:
+    """[N, 4, 4] Tcw: camera circling at `radius`, facing radially outward
+    (at the corridor wall). One full lap returns to the start pose."""
+    poses = np.zeros((n_frames, 4, 4))
+    for i in range(n_frames):
+        phi = 2.0 * np.pi * laps * i / max(n_frames - 1, 1)
+        sa, ca = np.sin(phi), np.cos(phi)
+        c = np.array([radius * sa, 0.0, radius * ca])
+        x = np.array([ca, 0.0, -sa])
+        y = np.array([0.0, 1.0, 0.0])
+        z = np.array([sa, 0.0, ca])
+        Twc = np.eye(4)
+        Twc[:3, :3] = np.stack([x, y, z], 1)
+        Twc[:3, 3] = c
+        poses[i] = np.linalg.inv(Twc)
+    return poses.astype(np.float32)
+
+
 # ---------------------------------------------------------------------------
 # Dense renders (for DoN / TSDF / engine tests)
 # ---------------------------------------------------------------------------

@@ -333,3 +333,23 @@ class LoopCloser:
             s.pt_xyz[sel] = Xc @ new_inv[:3, :3].T + new_inv[:3, 3]
         s.Tcw = s.kf_pose[kf_cur].copy()
         s.velocity = np.eye(4, dtype=np.float32)
+
+        # LoopClosing::SearchAndFuse parity: project loop-side map points
+        # into the corrected current-side keyframes and fuse duplicates.
+        # The resulting cross-loop observations are the factors that keep
+        # the loop closed under any subsequent bundle adjustment — without
+        # them GBA sees only odometry-consistent reprojection terms and
+        # relaxes the loop back open.
+        loop_side = [kf_loop] + [int(j) for j in s.covis_idx[kf_loop][:5]
+                                 if j >= 0 and s.kf_valid[j]]
+        loop_pts = np.nonzero(
+            s.pt_valid & np.isin(s.pt_obs_kf, loop_side).any(axis=1))[0]
+        cur_side = [kf_cur] + [int(j) for j in s.covis_idx[kf_cur][:5]
+                               if j >= 0 and s.kf_valid[j] and j != kf_loop]
+        fused = 0
+        for j in cur_side:
+            fused += s._fuse_into(loop_pts, j, radius=4.0)
+        if fused:
+            for j in cur_side:
+                s._update_covisibility(j)
+            s._touch_map()

@@ -172,12 +172,18 @@ class SlamSystem:
         cam = self.cfg.camera
         Tcw_pred = (self.velocity @ self.Tcw).astype(np.float32)
         pt_xyz_d, pt_desc_d, pt_valid_d = self._device_map()
+        fargs = (self.intr, jnp.asarray(Tcw_pred), pt_xyz_d, pt_desc_d,
+                 pt_valid_d, jnp.asarray(gray, jnp.float32),
+                 jnp.asarray(depth, jnp.float32), self.cfg.orb,
+                 cam.width, cam.height)
         pack, desc_u8_d, desc_pm1_d = track_rgbd_frame(
-            self.intr, jnp.asarray(Tcw_pred), pt_xyz_d, pt_desc_d,
-            pt_valid_d, jnp.asarray(gray, jnp.float32),
-            jnp.asarray(depth, jnp.float32), self.cfg.orb,
-            cam.width, cam.height, radius=15.0, max_dist=75)
+            *fargs, radius=15.0, max_dist=75)
         pk = np.asarray(pack)                       # the one readback
+        if int(pk[17]) < 10:
+            # widened re-search before LOST (TrackWithMotionModel retry)
+            pack, desc_u8_d, desc_pm1_d = track_rgbd_frame(
+                *fargs, radius=45.0, max_dist=75)
+            pk = np.asarray(pack)
         Tcw_new = pk[:16].reshape(4, 4).astype(np.float32)
         n_match = int(pk[16])
         n_inl = int(pk[17])
@@ -433,13 +439,17 @@ class SlamSystem:
     def _track(self, fi: FrameInput):
         Tcw_pred = (self.velocity @ self.Tcw).astype(np.float32)
         pt_xyz_d, pt_desc_d, pt_valid_d = self._device_map()
-        res = track_with_map(
-            self.intr, jnp.asarray(Tcw_pred),
-            pt_xyz_d, pt_desc_d, pt_valid_d,
-            jnp.asarray(fi.uv), jnp.asarray(fi.desc_pm1),
-            jnp.asarray(fi.valid), jnp.asarray(fi.level),
-            self.cfg.camera.width, self.cfg.camera.height,
-            radius=15.0, max_dist=75)
+        args = (self.intr, jnp.asarray(Tcw_pred),
+                pt_xyz_d, pt_desc_d, pt_valid_d,
+                jnp.asarray(fi.uv), jnp.asarray(fi.desc_pm1),
+                jnp.asarray(fi.valid), jnp.asarray(fi.level),
+                self.cfg.camera.width, self.cfg.camera.height)
+        res = track_with_map(*args, radius=15.0, max_dist=75)
+        if int(res.n_inliers) < 10:
+            # motion-model miss: re-search with a widened window before
+            # declaring LOST (ORB-SLAM2 TrackWithMotionModel retries with
+            # th*2 when the first projection search starves)
+            res = track_with_map(*args, radius=45.0, max_dist=75)
         Tcw_new, n_match, n_inl, match_pt, inlier_kp = jax.device_get(
             (res.Tcw, res.n_matches, res.n_inliers,
              res.match_pt, res.inlier_kp))
@@ -474,13 +484,24 @@ class SlamSystem:
         self.velocity = (Tcw_new @ self._inv_np(self.Tcw)).astype(np.float32)
         self.Tcw = Tcw_new
         self.frames_since_kf += 1
+        if self.frames_since_kf == 1:
+            # reference quality = the first full track against the new
+            # keyframe's points (insertion-time inliers are the trough of
+            # the decay that triggered the keyframe, not its capability)
+            self.ref_kf_inliers = max(self.ref_kf_inliers, n_inl)
 
         # bookkeeping for culling
         matched_pts = match_pt[(match_pt >= 0) & inlier_kp]
         self.pt_found[matched_pts] += 1
 
+        # health floor 15 = upstream NeedNewKeyFrame's mnMatchesInliers>15;
+        # a 30 floor starves fast exploration exactly when a new keyframe
+        # is most needed (inliers decay through 30..15 in a few frames).
+        # ratio 0.5 of the post-keyframe peak inserts eagerly during
+        # exploration — upstream's philosophy: insert generously, let
+        # keyframe culling prune the redundancy afterwards.
         if need_keyframe(n_inl, self.ref_kf_inliers, self.frames_since_kf,
-                         min_inliers=30, ratio=0.75, max_gap=20):
+                         min_inliers=15, ratio=0.5, max_gap=20):
             kf = self._insert_keyframe(get_fi(), match_pt=match_pt,
                                        inlier_kp=inlier_kp)
             self.last_kf_id = kf

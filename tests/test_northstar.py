@@ -1,0 +1,107 @@
+"""North-star accuracy harness (BASELINE.md: "ATE within ORB-SLAM2 bounds").
+
+A 500-frame ring-corridor exploration with realistic pixel/depth noise:
+the camera circles inside a cylindrical wall seeing only a local arc, so
+pose error genuinely accumulates lap-long (no shortcut covisibility), and
+the lap's closure point forces the loop closer to detect, verify, and
+correct the drift. The assertions encode the baseline as ratios:
+
+  (a) pre-closure drift at the loop keyframe is substantial (> 0.1 m),
+  (b) loop correction shrinks that error by >= 5x,
+  (c) shutdown()'s final GBA does not reopen the loop and improves ATE.
+
+Reference behavior: LoopClosing::CorrectLoop + SearchAndFuse + GBA
+(/root/reference consumes ORB-SLAM2's loop pipeline via System.h:205-206).
+"""
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from semantic_slam_tpu.config import SlamConfig, MapConfig
+from semantic_slam_tpu.io import synth
+from semantic_slam_tpu.ops.orb import unpack_to_pm1
+from semantic_slam_tpu.slam.system import SlamSystem, FrameInput
+from semantic_slam_tpu.slam.vocab import train_vocabulary
+
+
+def _cam_center(Tcw):
+    return -Tcw[:3, :3].T @ Tcw[:3, 3]
+
+
+def _kf_errors(sys_, poses, valid, ts, gt_rel):
+    errs = {}
+    for k in range(sys_.K):
+        if valid[k]:
+            errs[k] = np.linalg.norm(
+                _cam_center(poses[k]) - _cam_center(gt_rel[int(ts[k])]))
+    return errs
+
+
+def _ate(errs, keys):
+    return float(np.sqrt(np.mean([errs[k] ** 2 for k in keys])))
+
+
+def test_northstar_ring_loop_closure():
+    N = 500
+    scene = synth.make_ring_scene(seed=0)
+    traj = synth.ring_trajectory(N, radius=3.5, laps=1.25)
+    # SLAM anchors its world at the first camera frame
+    gt_rel = np.stack([traj[i] @ np.linalg.inv(traj[0]) for i in range(N)])
+
+    cfg = dataclasses.replace(
+        SlamConfig(), map=MapConfig(max_keyframes=128, max_points=16384,
+                                    max_kp_per_frame=512, max_obs_per_point=8))
+    sys_ = SlamSystem(cfg)
+    vocab = train_vocabulary(
+        np.asarray(unpack_to_pm1(jnp.asarray(scene.desc_u8[:2048]))),
+        np.ones(2048, bool), n_words=128, iters=4)
+    sys_.attach_loop_closing(vocab, run_global_ba=True)
+    lc = sys_._loop_closer
+
+    snaps = {}
+    orig_correct = lc._correct
+
+    def snapping_correct(kf_cur, kf_loop, S):
+        if "pre" not in snaps:
+            snaps["pre"] = (sys_.kf_pose.copy(), sys_.kf_valid.copy(),
+                            sys_.kf_timestamps.copy(), kf_cur, kf_loop)
+        return orig_correct(kf_cur, kf_loop, S)
+
+    lc._correct = snapping_correct
+
+    lost = 0
+    for i in range(N):
+        obs = synth.observe(scene, traj[i], cfg.camera, max_kp=512,
+                            px_noise=0.8, depth_noise=0.01, seed=1000 + i)
+        sys_.track_features(FrameInput(
+            uv=obs["uv"], level=obs["level"], desc_u8=obs["desc_u8"],
+            desc_pm1=obs["desc_pm1"], valid=obs["valid"], depth=obs["depth"],
+            timestamp=float(i)))
+        lost += sys_.state == "LOST"
+
+    assert lost == 0, f"tracking lost on {lost} frames"
+    assert lc.loops, "loop closure never fired over 1.25 laps"
+    pre_p, pre_v, pre_t, kf_cur, kf_loop = snaps["pre"]
+    e_pre = _kf_errors(sys_, pre_p, pre_v, pre_t, gt_rel)
+    e_post = _kf_errors(sys_, sys_.kf_pose, sys_.kf_valid,
+                        sys_.kf_timestamps, gt_rel)
+
+    # (a) genuine accumulated drift at the loop keyframe
+    assert e_pre[kf_cur] > 0.1, f"drift too small to be meaningful: {e_pre[kf_cur]}"
+    # (b) closure shrinks the loop-KF error by >= 5x
+    ratio = e_pre[kf_cur] / max(e_post[kf_cur], 1e-9)
+    assert ratio >= 5.0, (e_pre[kf_cur], e_post[kf_cur], ratio)
+    # whole-trajectory ATE improves too
+    common = sorted(set(e_pre) & set(e_post))
+    ate_pre, ate_post = _ate(e_pre, common), _ate(e_post, common)
+    assert ate_post < ate_pre * 0.75, (ate_pre, ate_post)
+
+    # (c) shutdown's final GBA keeps the loop closed and improves ATE
+    sys_.shutdown()
+    e_fin = _kf_errors(sys_, sys_.kf_pose, sys_.kf_valid,
+                       sys_.kf_timestamps, gt_rel)
+    assert e_fin[kf_cur] < e_pre[kf_cur] / 5.0, (e_pre[kf_cur], e_fin[kf_cur])
+    ate_fin = _ate(e_fin, sorted(set(e_pre) & set(e_fin)))
+    assert ate_fin <= ate_post * 1.05, (ate_post, ate_fin)
