@@ -283,6 +283,18 @@ class LoopCloser:
                     continue
                 seen.add(key)
                 add_edge(int(j), k, 1.0)
+        # past accepted loop edges (KeyFrame::AddLoopEdge parity): once a
+        # loop is closed its edge stays in the essential graph for every
+        # later pose-graph optimization, pinning previously-corrected loops
+        # while a new one is being absorbed
+        for k in range(K):
+            for j in s.loop_edges[k]:
+                j = int(j)
+                key = (min(k, j), max(k, j))
+                if j < 0 or key in seen:
+                    continue
+                seen.add(key)
+                add_edge(j, k, 20.0)
         # the loop edge with the measured relative Sim3: corrected current
         # pose = S_cur @ inv(S_corr). The weight stands in for the multiple
         # consistent LoopConnection edges upstream's CorrectLoop wires after
@@ -333,6 +345,10 @@ class LoopCloser:
             s.pt_xyz[sel] = Xc @ new_inv[:3, :3].T + new_inv[:3, 3]
         s.Tcw = s.kf_pose[kf_cur].copy()
         s.velocity = np.eye(4, dtype=np.float32)
+        # record the accepted loop on both endpoints: protects them from
+        # keyframe culling and keeps the edge in future essential graphs
+        s._add_loop_edge(kf_cur, kf_loop)
+        s._add_loop_edge(kf_loop, kf_cur)
 
         # LoopClosing::SearchAndFuse parity: project loop-side map points
         # into the corrected current-side keyframes and fuse duplicates.

@@ -55,7 +55,7 @@ class MapArrays:
     covis_w: jnp.ndarray       # [K, C] i32 shared-point weights
     # --- spanning tree / loop edges (for pose graph + viewer parity) ------
     kf_parent: jnp.ndarray     # [K] i32 parent keyframe (-1 = root/none)
-    loop_edges: jnp.ndarray    # [K, 4] i32 loop-closure partner slots (-1 = none)
+    loop_edges: jnp.ndarray    # [K, 8] i32 loop-closure partner slots (-1 = none)
     # --- scalar counters (host-managed, static-shape int32 scalars) -------
     n_kf: jnp.ndarray          # [] i32
     n_pt: jnp.ndarray          # [] i32
@@ -83,7 +83,7 @@ class MapArrays:
             covis_idx=jnp.full((K, C), -1, jnp.int32),
             covis_w=jnp.zeros((K, C), jnp.int32),
             kf_parent=jnp.full((K,), -1, jnp.int32),
-            loop_edges=jnp.full((K, 4), -1, jnp.int32),
+            loop_edges=jnp.full((K, 8), -1, jnp.int32),
             n_kf=jnp.asarray(0, jnp.int32),
             n_pt=jnp.asarray(0, jnp.int32),
         )

@@ -95,7 +95,12 @@ class SlamSystem:
         self.covis_idx = np.full((self.K, mc.covis_max_neighbors), -1, np.int32)
         self.covis_w = np.zeros((self.K, mc.covis_max_neighbors), np.int32)
         self.kf_parent = np.full(self.K, -1, np.int32)
-        self.loop_edges = np.full((self.K, 4), -1, np.int32)
+        # loop-edge slots per keyframe: 8 accepted loop closures anchored at
+        # the same keyframe before the oldest is silently dropped — real
+        # sequences re-traverse a place a handful of times; the fixture map
+        # (194 KFs) never exceeds 1. Dropping only weakens the essential
+        # graph, it never corrupts it (spanning tree + covisibility remain).
+        self.loop_edges = np.full((self.K, 8), -1, np.int32)
         self.n_kf = 0               # slot high-water mark
         self.n_pt = 0
         # keyframe culling frees slots for reuse; insertion order is explicit
@@ -468,6 +473,8 @@ class SlamSystem:
         back on the frames that need them)."""
         self.stats["n_tracked"].append(n_match)
         self.stats["n_inliers"].append(n_inl)
+        # FrameDrawer state (consumed lazily by render_current_frame)
+        self._frame_debug = (get_fi, (match_pt >= 0) & inlier_kp, n_inl)
         if n_inl < 10:
             # lost: try BoW relocalization when place recognition is attached
             # (Tracking::Relocalization parity); otherwise coast on the
@@ -521,6 +528,38 @@ class SlamSystem:
                 if closed is not None and getattr(self, "_loop_run_gba", False):
                     self.global_bundle_adjust()
             self._touch_map()
+
+    def _add_loop_edge(self, i: int, j: int) -> None:
+        """Record an accepted loop closure on keyframe i's edge list
+        (KeyFrame::AddLoopEdge semantics: marks the pair never-cull and
+        keeps the edge in later essential graphs). When all slots are full
+        the oldest edge is dropped — see the loop_edges declaration."""
+        row = self.loop_edges[i]
+        if (row == j).any():
+            return
+        free = np.nonzero(row < 0)[0]
+        if len(free):
+            row[free[0]] = j
+        else:
+            row[:-1] = row[1:]
+            row[-1] = j
+
+    def render_current_frame(self, image: Optional[np.ndarray] = None,
+                             path: Optional[str] = None) -> np.ndarray:
+        """FrameDrawer::DrawFrame equivalent for the last tracked frame
+        (reference src/ORB_SLAM2/System.cc:101-107 wires FrameDrawer into
+        the viewer; here it renders offline on demand)."""
+        from semantic_slam_tpu.viz.renderer import render_frame
+
+        if not hasattr(self, "_frame_debug"):
+            raise RuntimeError("no frame tracked yet")
+        get_fi, matched, n_inl = self._frame_debug
+        fi = get_fi()
+        return render_frame(
+            image, fi.uv, fi.valid, matched, self.state,
+            int(self.kf_valid.sum()), int(self.pt_valid.sum()), n_inl,
+            width=self.cfg.camera.width, height=self.cfg.camera.height,
+            path=path)
 
     # --- keyframe insertion / map growth --------------------------------
 

@@ -264,6 +264,40 @@ def render_clusters(image: Optional[np.ndarray], cluster_id: np.ndarray,
     return img
 
 
+def render_frame(image: Optional[np.ndarray], uv: np.ndarray,
+                 valid: np.ndarray, matched: np.ndarray,
+                 state: str, n_kf: int, n_pt: int, n_inliers: int,
+                 width: int = 640, height: int = 480,
+                 path: Optional[str] = None) -> np.ndarray:
+    """FrameDrawer::DrawFrame parity (the per-frame tracked-features debug
+    view the reference viewer consumes, src/ORB_SLAM2/System.cc:101-107):
+    green boxes on keypoints matched to map points this frame, blue boxes
+    on unmatched detections, plus a status footer with tracking state,
+    keyframe/map-point counts, and the inlier count."""
+    img = _as_rgb(image, (height, width))
+    H, W, _ = img.shape
+    uv = np.asarray(uv)
+    valid = np.asarray(valid).astype(bool)
+    matched = np.asarray(matched).astype(bool)
+    green = np.array([40, 220, 60], np.uint8)
+    blue = np.array([70, 120, 255], np.uint8)
+    for i in np.nonzero(valid)[0]:
+        u, v = int(round(uv[i, 0])), int(round(uv[i, 1]))
+        if not (2 <= u < W - 2 and 2 <= v < H - 2):
+            continue
+        c = green if matched[i] else blue
+        img[v - 2, u - 2:u + 3] = c
+        img[v + 2, u - 2:u + 3] = c
+        img[v - 2:v + 3, u - 2] = c
+        img[v - 2:v + 3, u + 2] = c
+    footer = (f"{state}  KFs {n_kf}  MPs {n_pt}  "
+              f"matched {int(matched[valid].sum())}  inliers {n_inliers}")
+    _put_text(img, footer, 4, H - 14, np.array([255, 255, 255], np.uint8))
+    if path:
+        _save_image(path, img)
+    return img
+
+
 def render_object_overlay(bank, oidx: int, mask: np.ndarray,
                           Tcw: np.ndarray, K: np.ndarray, categories,
                           prob_thd: float, min_depth: float, max_depth: float,

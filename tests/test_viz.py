@@ -92,3 +92,47 @@ def test_render_object_overlay_gates_points():
         bank, 0, mask, np.eye(4), K, CATEGORIES, prob_thd=0.5,
         min_depth=0.1, max_depth=1.0)
     assert not (img2[H // 2, W // 2] == color).all()
+
+
+def test_render_frame_tracked_features(tmp_path):
+    from semantic_slam_tpu.viz.renderer import render_frame
+
+    uv = np.array([[50.0, 40.0], [100.0, 80.0], [630.0, 470.0],
+                   [1.0, 1.0]], np.float32)
+    valid = np.array([True, True, True, False])
+    matched = np.array([True, False, True, True])
+    img = render_frame(None, uv, valid, matched, "OK", n_kf=3, n_pt=120,
+                       n_inliers=42, width=640, height=480,
+                       path=str(tmp_path / "frame.png"))
+    assert img.shape == (480, 640, 3)
+    green = np.array([40, 220, 60], np.uint8)
+    blue = np.array([70, 120, 255], np.uint8)
+    assert (img[40 - 2, 50 - 2:50 + 3] == green).all()     # matched box
+    assert (img[80 - 2, 100 - 2:100 + 3] == blue).all()    # unmatched box
+    # invalid keypoint (index 3) leaves its area untouched
+    assert (img[1, 1] == img[5, 300]).all()
+    assert (tmp_path / "frame.png").exists()
+
+
+def test_system_render_current_frame():
+    import dataclasses
+    from semantic_slam_tpu.config import SlamConfig, MapConfig
+    from semantic_slam_tpu.io import synth
+    from semantic_slam_tpu.slam.system import SlamSystem, FrameInput
+
+    cfg = dataclasses.replace(
+        SlamConfig(), map=MapConfig(max_keyframes=8, max_points=2048,
+                                    max_kp_per_frame=256, max_obs_per_point=4))
+    sys_ = SlamSystem(cfg)
+    scene = synth.make_scene(800, extent=3.0, depth_center=2.0, seed=5)
+    traj = synth.orbit_trajectory(4, radius=0.3, look_at=(0, 0, 2.0))
+    for i, Tcw in enumerate(traj):
+        obs = synth.observe(scene, Tcw, cfg.camera, max_kp=256, seed=i)
+        sys_.track_features(FrameInput(
+            uv=obs["uv"], level=obs["level"], desc_u8=obs["desc_u8"],
+            desc_pm1=obs["desc_pm1"], valid=obs["valid"],
+            depth=obs["depth"], timestamp=float(i)))
+    img = sys_.render_current_frame()
+    assert img.shape == (cfg.camera.height, cfg.camera.width, 3)
+    green = np.array([40, 220, 60], np.uint8)
+    assert (img.reshape(-1, 3) == green).all(-1).any()  # some matched boxes
