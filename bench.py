@@ -218,16 +218,34 @@ def section_don() -> dict:
 
 
 def section_hamming() -> dict:
+    """Descriptor Hamming-matrix rate at map-matching scale (1000 features x
+    16k map points ~ 4096x4096). Measured INSIDE one fused jit (32 matrices
+    per dispatch, loop-carried variation so nothing hoists): a standalone
+    per-matrix call is tunnel-dispatch-bound (~0.7 ms floor) and reports the
+    transport, not the device. The max-reduction consumer fuses into the
+    matmul epilogue, matching how the matcher's min/argmin passes consume
+    the matrix without materializing it."""
+    import jax
     import jax.numpy as jnp
+    from jax import lax
 
     from semantic_slam_tpu.ops.match import hamming_matrix
 
     _warm()
     rs = np.random.RandomState(0)
-    d1 = jnp.asarray(rs.randint(0, 2, (1024, 256)).astype(np.int8) * 2 - 1)
-    d2 = jnp.asarray(rs.randint(0, 2, (1024, 256)).astype(np.int8) * 2 - 1)
-    dt = _timeit(lambda: hamming_matrix(d1, d2))
-    return {"hamming_gcomparisons_per_s": 1024 * 1024 / dt / 1e9}
+    N, REPS = 4096, 32
+    d1 = jnp.asarray(rs.randint(0, 2, (N, 256)).astype(np.int8) * 2 - 1)
+    d2 = jnp.asarray(rs.randint(0, 2, (N, 256)).astype(np.int8) * 2 - 1)
+
+    @jax.jit
+    def burst(d1, d2):
+        def body(i, acc):
+            h = hamming_matrix(jnp.roll(d1, i, axis=0), d2)
+            return jnp.maximum(acc, h.max())
+        return lax.fori_loop(0, REPS, body, jnp.int32(-1))
+
+    dt = _timeit(lambda: burst(d1, d2), warmup=2, iters=20)
+    return {"hamming_gcomparisons_per_s": N * N * REPS / dt / 1e9}
 
 
 def section_maskrcnn() -> dict:
@@ -292,6 +310,16 @@ def main() -> None:
         if name == "tracking" and "tracking_fps" not in d:
             d = _run_child(name, tmo)                     # one retry
         details.update(d)
+        # secondary vs_baseline ratios where BASELINE.md documents a bar:
+        # engine: reference Engine::Run self-times ~1 s/keyframe on its dev
+        # hardware (src/Engine.cpp:267-290, CPU+930M) -> bar 1 kf/s.
+        # tsdf: reference integrates 200^3 voxels per frame at camera rate
+        # (include/tsdf.hpp:63-67) -> real-time bar 8 Mvox x 30 fps.
+        if "engine_kf_per_s" in d:
+            details["engine_vs_baseline"] = round(d["engine_kf_per_s"] / 1.0, 2)
+        if "tsdf_mvoxels_per_s" in d:
+            details["tsdf_vs_baseline"] = round(
+                d["tsdf_mvoxels_per_s"] / 240.0, 2)
         if not headline_done and "tracking_fps" in details:
             # Reference throughput: real-time-paced at 30 fps (TUM) on CPU.
             # Printed the moment it is measured so nothing later can lose it.

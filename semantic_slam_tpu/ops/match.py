@@ -29,13 +29,19 @@ BIG = jnp.float32(1e9)
 
 
 def hamming_matrix(desc1_pm1: jnp.ndarray, desc2_pm1: jnp.ndarray) -> jnp.ndarray:
-    """[N1, 256] x [N2, 256] ±1 int8 -> [N1, N2] int32 Hamming distances."""
+    """[N1, 256] x [N2, 256] ±1 int8 -> [N1, N2] int32 Hamming distances.
+
+    The matmul runs in bf16 with f32 accumulation: ±1 operands and partial
+    sums bounded by 256 are all exactly representable, so the distances are
+    bit-exact — and the MXU actually runs it (the int8->int32 dot lowering
+    on v5e is pathologically slow: a 4096x4096 int8 burst did not finish in
+    600 s where the bf16 one takes 449 us/iteration at 19 TFLOP/s)."""
     dot = jax.lax.dot_general(
-        desc1_pm1, desc2_pm1,
+        desc1_pm1.astype(jnp.bfloat16), desc2_pm1.astype(jnp.bfloat16),
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32,
+        preferred_element_type=jnp.float32,
     )
-    return (desc1_pm1.shape[-1] - dot) // 2
+    return ((desc1_pm1.shape[-1] - dot) * 0.5).astype(jnp.int32)
 
 
 class MatchResult(NamedTuple):

@@ -292,9 +292,17 @@ class SlamSystem:
         self._loop_closer = LoopCloser(self, vocab)
         self._loop_run_gba = run_global_ba
 
-    def _relocalize(self, fi: FrameInput) -> bool:
+    def _relocalize(self, fi: FrameInput, max_candidates: int = 5,
+                    max_points: int = 2048) -> bool:
         """BoW candidate keyframes -> 3D-2D descriptor matching -> pose GN
-        (the reference's Tracking::Relocalization flow)."""
+        (the reference's Tracking::Relocalization flow).
+
+        max_candidates bounds the score-ranked keyframes tried per lost
+        frame (upstream tries every DetectRelocalizationCandidates hit; 5
+        covers the plateau — candidates past that share the same scene).
+        max_points bounds the per-candidate 3D-2D match set; a keyframe
+        observes at most max_kp_per_frame points plus fused extras, so
+        2048 never truncates at the configured capacities."""
         if getattr(self, "_kfdb", None) is None or self.n_kf == 0:
             return False
         from semantic_slam_tpu.slam.tracking import pose_optimize
@@ -302,11 +310,11 @@ class SlamSystem:
         from semantic_slam_tpu.ops.orb import unpack_to_pm1
 
         scores = self._kfdb.query(fi.desc_pm1, fi.valid)
-        for cand in np.argsort(-scores)[:3]:
+        for cand in np.argsort(-scores)[:max_candidates]:
             if scores[cand] <= 0:
                 break
             obs = (self.pt_obs_kf == cand).any(axis=1) & self.pt_valid
-            ids = np.nonzero(obs)[0][:1024]
+            ids = np.nonzero(obs)[0][:max_points]
             if len(ids) < 30:
                 continue
             pdesc = unpack_to_pm1(jnp.asarray(self.pt_desc[ids]))

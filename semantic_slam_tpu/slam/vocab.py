@@ -43,9 +43,13 @@ def _kmedians(desc_pm1: jnp.ndarray, valid: jnp.ndarray, seed: jnp.ndarray,
     words = desc_pm1[init_idx].astype(jnp.int8)
 
     def step(words, _):
+        # bf16 operands + f32 accumulation: exact for +-1 x 256-dim and
+        # avoids the pathologically slow int8->int32 dot lowering on v5e
+        # (see ops/match.hamming_matrix)
         dots = jax.lax.dot_general(
-            desc_pm1, words, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32)            # [N, V]
+            desc_pm1.astype(jnp.bfloat16), words.astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [N, V]
         assign = jnp.argmax(jnp.where(valid[:, None], dots, -(2 ** 30)), -1)
         onehot = jax.nn.one_hot(assign, n_words, dtype=jnp.float32)
         onehot = onehot * valid[:, None]
@@ -74,8 +78,9 @@ def bow_vector(vocab: Vocabulary, desc_pm1: jnp.ndarray,
                valid: jnp.ndarray) -> jnp.ndarray:
     """[N, 256] descriptors -> [V] L1-normalized tf-idf BoW vector."""
     dots = jax.lax.dot_general(
-        desc_pm1, vocab.words_pm1, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32)
+        desc_pm1.astype(jnp.bfloat16), vocab.words_pm1.astype(jnp.bfloat16),
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
     assign = jnp.argmax(jnp.where(valid[:, None], dots, -(2 ** 30)), -1)
     V = vocab.words_pm1.shape[0]
     hist = jnp.sum(jax.nn.one_hot(assign, V, dtype=jnp.float32)

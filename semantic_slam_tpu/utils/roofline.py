@@ -62,6 +62,12 @@ class KernelSpec:
     once, at their stored dtype widths) — the compulsory traffic, i.e. the
     roofline's optimistic denominator.
     dtype: which flops ceiling applies ("bf16" or "f32").
+
+    step/carry: when given, timing composes `step(i, carry) -> carry`
+    inside ONE jitted fori_loop (time_kernel_fused) — the only way to see
+    the device instead of the ~0.7-3 ms remote-dispatch floor for kernels
+    that run in microseconds. The carry must make each iteration's input
+    data-dependent on the previous one, or XLA hoists the loop body.
     """
 
     name: str
@@ -69,6 +75,8 @@ class KernelSpec:
     flops: float
     bytes: float
     dtype: str = "f32"
+    step: Optional[Callable[[object, object], object]] = None
+    carry: object = None
 
 
 @dataclasses.dataclass
@@ -112,10 +120,33 @@ def time_kernel(fn: Callable[[], object], warmup: int = 2, iters: int = 50,
     return best
 
 
+def time_kernel_fused(step: Callable[[object, object], object], carry,
+                      reps: int = 32, batches: int = 3) -> float:
+    """Compose `step(i, carry) -> carry` `reps` times inside ONE jitted
+    program and time whole bursts — per-call dispatch cost vanishes instead
+    of being amortized, so microsecond kernels report device time."""
+    import jax
+    from jax import lax
+
+    f = jax.jit(lambda c: lax.fori_loop(0, reps, step, c))
+    out = f(carry)
+    _sync(out)                      # compile + transport warm
+    best = float("inf")
+    for _ in range(batches):
+        t0 = time.perf_counter()
+        out = f(out)
+        _sync(out)
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return best
+
+
 def measure_kernel(spec: KernelSpec, peaks: Optional[Dict[str, float]] = None,
                    **timeit_kw) -> RooflineRow:
     peaks = peaks or device_peaks()
-    dt = time_kernel(spec.fn, **timeit_kw)
+    if spec.step is not None:
+        dt = time_kernel_fused(spec.step, spec.carry)
+    else:
+        dt = time_kernel(spec.fn, **timeit_kw)
     intensity = spec.flops / max(spec.bytes, 1.0)
     peak_flops = peaks[f"{spec.dtype}_tflops"] * 1e12
     peak_bw = peaks["hbm_gbs"] * 1e9
@@ -166,44 +197,62 @@ def standard_kernel_suite() -> List[KernelSpec]:
     rs = np.random.RandomState(0)
     specs: List[KernelSpec] = []
 
-    # Hamming matcher: (+-1)^T (+-1) matmul, N x M x 256.
+    # Hamming matcher: (+-1)^T (+-1) matmul, N x M x 256. Fused burst: the
+    # roll varies the input per iteration (no hoisting), the max-reduction
+    # fuses into the matmul epilogue (no materialization) — matching how
+    # the matcher's min/argmin passes consume the matrix.
     n = m = 1024
     d1 = jnp.asarray(rs.randint(0, 2, (n, 256)).astype(np.int8) * 2 - 1)
     d2 = jnp.asarray(rs.randint(0, 2, (m, 256)).astype(np.int8) * 2 - 1)
     specs.append(KernelSpec(
         "hamming_1k_x_1k", lambda: hamming_matrix(d1, d2),
         flops=2.0 * n * m * 256, bytes=float((n + m) * 256 + n * m * 4),
-        dtype="bf16"))
+        dtype="bf16",
+        step=lambda i, c: jnp.maximum(
+            c, hamming_matrix(jnp.roll(d1, i, axis=0), d2).max()),
+        carry=jnp.int32(-1)))
 
     # ORB front end over a VGA frame: dominated by the pyramid + FAST
     # planes; compulsory traffic = image in + descriptors/coords out.
+    # Carry: a ~1e-38 data-dependent perturbation keeps iterations chained.
     img = jnp.asarray(rs.uniform(0, 255, (480, 640)).astype(np.float32))
     ocfg = OrbConfig(n_features=1000)
     f_orb = jax.jit(lambda im: extract_orb(im, ocfg).desc_pm1)
     specs.append(KernelSpec(
         "extract_orb_vga", lambda: f_orb(img),
         flops=2.0 * 480 * 640 * 16 * 8,   # 8 pyramid levels x 16-tap work
-        bytes=480.0 * 640 * 4 * 2 + 1000 * 256, dtype="f32"))
+        bytes=480.0 * 640 * 4 * 2 + 1000 * 256, dtype="f32",
+        step=lambda i, c: extract_orb(
+            img * (1.0 + c), ocfg).desc_pm1[0, 0].astype(jnp.float32) * 1e-38,
+        carry=jnp.float32(0.0)))
 
-    # TSDF blocked integrate: 200^3 voxels, ~16 flops each (transform +
-    # project + sdf update), traffic = tsdf+weight r/w for touched blocks.
+    # TSDF dense integrate: the roofline row uses the DENSE kernel because
+    # its work model is exact — every voxel transforms/projects (~16 flops)
+    # and tsdf+weight are read+written once (16 B/voxel). The production
+    # hierarchically-culled kernel (bench.py section_tsdf) skips most
+    # blocks, so a dense-work model would overstate its flops ~100x and
+    # make %roof meaningless.
     from ..io import synth
-    from ..ops.tsdf import tsdf_blocked_create, tsdf_integrate_blocked
+    from ..ops.tsdf import TsdfVolume, tsdf_integrate
     scene = synth.make_box_scene(2, seed=2)
     depth, _ = synth.render_depth(scene, np.eye(4), cfg.camera)
     depth_j = jnp.asarray(depth)
-    vol = tsdf_blocked_create(np.array([-0.4, -0.4, 1.4], np.float32),
-                              np.eye(4, dtype=np.float32), dim=200, block=8)
+    vol = TsdfVolume.create(np.array([-0.4, -0.4, 1.4], np.float32),
+                            np.eye(4, dtype=np.float32), dim=200)
     box = {"v": vol}
 
     def tsdf_step():
-        box["v"] = tsdf_integrate_blocked(
+        box["v"] = tsdf_integrate(
             box["v"], depth_j, jnp.eye(4), intr, voxel_size=0.004,
-            trunc_margin=0.02, block=8, max_mixed=1024)
+            trunc_margin=0.02)
         return box["v"].tsdf
 
     nvox = 200 ** 3
     specs.append(KernelSpec(
-        "tsdf_integrate_200^3", tsdf_step,
-        flops=16.0 * nvox, bytes=nvox * 4.0 * 2, dtype="f32"))
+        "tsdf_dense_200^3", tsdf_step,
+        flops=16.0 * nvox, bytes=nvox * 4.0 * 4, dtype="f32",
+        step=lambda i, v: tsdf_integrate(
+            v, depth_j, jnp.eye(4), intr, voxel_size=0.004,
+            trunc_margin=0.02),
+        carry=vol))
     return specs

@@ -109,3 +109,24 @@ def test_vocab_and_database(rng):
     sb = float(bow_score(bow_vector(vocab, jnp.asarray(pa()), jnp.asarray(valid)),
                          bow_vector(vocab, jnp.asarray(pb()), jnp.asarray(valid))))
     assert sa > sb
+
+
+def test_add_loop_edge_bookkeeping():
+    """AddLoopEdge semantics: dedupe, slot fill, drop-oldest overflow."""
+    import dataclasses
+    from semantic_slam_tpu.config import SlamConfig, MapConfig
+    from semantic_slam_tpu.slam.system import SlamSystem
+
+    cfg = dataclasses.replace(
+        SlamConfig(), map=MapConfig(max_keyframes=32, max_points=256,
+                                    max_kp_per_frame=64, max_obs_per_point=4))
+    s = SlamSystem(cfg)
+    cap = s.loop_edges.shape[1]
+    s._add_loop_edge(3, 7)
+    s._add_loop_edge(3, 7)                      # dedupe
+    assert (s.loop_edges[3] == 7).sum() == 1
+    for j in range(cap + 2):                    # overflow drops oldest
+        s._add_loop_edge(5, 10 + j)
+    assert (s.loop_edges[5] >= 0).all()
+    assert 10 not in s.loop_edges[5] and 11 not in s.loop_edges[5]
+    assert 10 + cap + 1 in s.loop_edges[5]
