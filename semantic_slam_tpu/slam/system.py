@@ -512,11 +512,13 @@ class SlamSystem:
         # health floor 15 = upstream NeedNewKeyFrame's mnMatchesInliers>15;
         # a 30 floor starves fast exploration exactly when a new keyframe
         # is most needed (inliers decay through 30..15 in a few frames).
-        # ratio 0.5 of the post-keyframe peak inserts eagerly during
-        # exploration — upstream's philosophy: insert generously, let
-        # keyframe culling prune the redundancy afterwards.
+        # ratio of the post-keyframe peak: 0.9 for monocular (upstream
+        # thRefRatio — mono map growth NEEDS a new keyframe while tracking
+        # is still healthy, or triangulation starves), 0.5 otherwise
+        # (upstream's philosophy: insert generously, cull redundancy after).
         if need_keyframe(n_inl, self.ref_kf_inliers, self.frames_since_kf,
-                         min_inliers=15, ratio=0.5, max_gap=20):
+                         min_inliers=15, ratio=0.9 if self.mono else 0.5,
+                         max_gap=20):
             kf = self._insert_keyframe(get_fi(), match_pt=match_pt,
                                        inlier_kp=inlier_kp)
             self.last_kf_id = kf
@@ -668,9 +670,9 @@ class SlamSystem:
         from semantic_slam_tpu.ops.match import match_descriptors
 
         partners = [int(self.kf_parent[k])] + [
-            int(j) for j in self.covis_idx[k][:3] if j >= 0]
+            int(j) for j in self.covis_idx[k][:6] if j >= 0]
         partners = [j for i, j in enumerate(partners)
-                    if j >= 0 and j != k and j not in partners[:i]][:3]
+                    if j >= 0 and j != k and j not in partners[:i]][:5]
         if not partners:
             return
         K = np.asarray(self.intr.K)
