@@ -11,12 +11,35 @@ Secondary metrics (TSDF Mvoxel/s, DoN segmentation fps, Mask R-CNN fps,
 engine keyframes/s, Hamming matcher rate) go to bench_details.json.
 
 Architecture: every section runs in its OWN subprocess with its own TPU
-client. Round 1's driver run died to a sequence-dependent transport
-poisoning (a bare INVALID_ARGUMENT after certain program orders through the
-remote-TPU tunnel); process isolation makes one poisoned transport unable
-to take the headline or any other section with it. The parent never touches
-the device and always exits 0 with the headline printed as soon as the
-tracking section reports.
+client (round 1's driver run died to sequence-dependent transport poisoning;
+isolation keeps one poisoned transport from taking other sections with it).
+Round-3 hardening, after two rounds of red artifacts (r01 rc=1, r02 rc=124):
+
+  - Global wall budget (SST_BENCH_BUDGET, default 2800 s ~= 0.8x the driver
+    wall). When the remaining budget can't cover a section's timeout the
+    section is SKIPPED with an explicit ``<name>_skipped`` marker instead of
+    letting the driver kill the whole run mid-section.
+  - Heartbeats: children print ``[hb +T] msg`` to stderr at every milestone
+    (warm readback, setup, first compile, each timing batch). On a timeout
+    the parent records the stderr tail, so compile-hang vs execute-hang is
+    diagnosable post-mortem.
+  - Child watchdog: a daemon thread hard-exits the child 10 s before the
+    parent would kill it, printing where it stalled — the child's own exit
+    yields a clean rc/stderr instead of a SIGKILL mid-syscall.
+  - Section order puts the short, historically-flaky sections (tsdf) right
+    after the headline so a wall kill late in the run can no longer erase
+    them. maskrcnn (biggest compile) goes last.
+  - bench_details.json records run conditions (device, per-section elapsed,
+    order) alongside the numbers, and ends with a newline.
+
+Root-cause note on the r02 tsdf timeout: the identical section measures
+1181 Mvox/s with a 9 s compile when the remote-compile helper is idle
+(reproduced 2026-08-20); the hang signature (child ~0% CPU, zero output,
+no progress past warmup) matches remote-compile queue contention — a prior
+client killed mid-compile leaves its compile running server-side and later
+compiles queue behind it (CLAUDE.md perf lore). The defenses above make that
+state visible (heartbeat shows the stall is pre-first-compile) and bounded
+(budget + skip markers) rather than fatal.
 """
 
 from __future__ import annotations
@@ -25,21 +48,45 @@ import json
 import os
 import subprocess
 import sys
+import threading
 import time
 
 import numpy as np
 
-# (name, timeout_s).  Generous timeouts: first compile through the remote
-# helper is slow, and killing a client mid-compile leaves the compile
-# queued server-side (poisons later sections' compile times).
+_T0 = time.time()
+
+# (name, timeout_s). Timeouts cover a cold remote compile (first compile
+# through the tunnel is slow) but are sized so the full worst case fits the
+# default budget: the budget logic skips sections it can no longer afford.
 SECTIONS = [
-    ("tracking", 1500),
-    ("engine", 1500),
-    ("tsdf", 900),
-    ("don", 900),
-    ("hamming", 900),
-    ("maskrcnn", 2400),
+    ("tracking", 700),
+    ("tsdf", 500),
+    ("don", 400),
+    ("hamming", 400),
+    ("engine", 700),
+    ("maskrcnn", 900),
 ]
+
+
+def _hb(msg: str) -> None:
+    """Child-side heartbeat on stderr (parent captures the tail on timeout)."""
+    print(f"[hb +{time.time() - _T0:6.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+def _arm_watchdog() -> None:
+    """Hard-exit the child shortly before the parent's kill would land, so
+    the stall location (last heartbeat) survives in clean stderr."""
+    limit = float(os.environ.get("SST_BENCH_CHILD_TIMEOUT", "0"))
+    if limit <= 10:
+        return
+
+    def die():
+        _hb(f"WATCHDOG: no completion after {limit - 10:.0f}s — hard exit")
+        os._exit(42)
+
+    t = threading.Timer(limit - 10, die)
+    t.daemon = True
+    t.start()
 
 
 # --------------------------------------------------------------------------
@@ -67,13 +114,15 @@ def _timeit(fn, warmup: int = 2, iters: int = 100, batches: int = 3) -> float:
     for _ in range(warmup):
         out = fn()
     _sync(out)
+    _hb("compiled + warm")
     best = float("inf")
-    for _ in range(batches):
+    for b in range(batches):
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fn()
         _sync(out)
         best = min(best, (time.perf_counter() - t0) / iters)
+        _hb(f"batch {b + 1}/{batches}: {best * 1e3:.3f} ms/iter (best)")
     return best
 
 
@@ -83,6 +132,7 @@ def _warm():
     import jax.numpy as jnp
 
     _sync(jnp.ones((8, 8)) + 1.0)
+    _hb("warm readback done")
 
 
 def _common():
@@ -126,6 +176,7 @@ def section_tracking() -> dict:
     pt_desc = jnp.asarray(scene.desc_pm1)
     pt_valid = jnp.ones(len(scene.pts_w), bool)
     Tcw = jnp.eye(4)
+    _hb("setup done")
 
     def track_step():
         _, res = track_frame(intr, Tcw, pt_xyz, pt_desc, pt_valid,
@@ -170,8 +221,10 @@ def section_engine() -> dict:
         d, _ = synth.render_depth(box_scene, traj_twc[i], ecfg.camera)
         frames.append((d, det.predict(traj_twc[i]), traj_tcw[i]))
     eng = Engine(load_categories(), ecfg)
+    _hb("setup done")
     for i, (d, dets, tcw) in enumerate(frames):      # warmup + compile
         eng.run(None, d, kf_id=i, Tcw=tcw, detections=dets)
+        _hb(f"warm kf {i + 1}/{len(frames)}")
     n_runs, t0 = 16, time.perf_counter()
     for j in range(n_runs):
         d, dets, tcw = frames[j % len(frames)]
@@ -193,6 +246,7 @@ def section_tsdf() -> dict:
     state = {"vol": tsdf_blocked_create(
         np.array([-0.4, -0.4, 1.4], np.float32),
         np.eye(4, dtype=np.float32), dim=200, block=8)}
+    _hb("setup done")
 
     def tsdf_step():
         state["vol"] = tsdf_integrate_blocked(
@@ -210,6 +264,7 @@ def section_don() -> dict:
     _warm()
     cfg, intr = _common()
     _, bdepth_j = _box_depth(cfg)
+    _hb("setup done")
 
     def don_step():
         return don_extract(bdepth_j, intr, 0.05, 0.5, 0.1, 0.05).cluster_id
@@ -236,6 +291,7 @@ def section_hamming() -> dict:
     N, REPS = 4096, 32
     d1 = jnp.asarray(rs.randint(0, 2, (N, 256)).astype(np.int8) * 2 - 1)
     d2 = jnp.asarray(rs.randint(0, 2, (N, 256)).astype(np.int8) * 2 - 1)
+    _hb("setup done")
 
     @jax.jit
     def burst(d1, d2):
@@ -261,6 +317,7 @@ def section_maskrcnn() -> dict:
     model = MaskRCNN(pre_nms=256, post_nms=64, roi_samples=32)
     mimg = jnp.asarray(rs.uniform(0, 255, (256, 320, 3)).astype(np.float32))
     params = model.init(jax.random.PRNGKey(0), mimg)
+    _hb("params initialized")
     infer = jax.jit(lambda p, im: model.apply(p, im)["scores"])
     dt = _timeit(lambda: infer(params, mimg), warmup=1, iters=60)
     return {"maskrcnn_fps_256x320": 1.0 / dt}
@@ -272,14 +329,19 @@ def section_maskrcnn() -> dict:
 
 def _run_child(name: str, timeout: float) -> dict:
     """Run one section in a fresh interpreter; parse its last JSON line."""
+    env = dict(os.environ, SST_BENCH_CHILD_TIMEOUT=str(timeout))
     try:
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--section", name],
-            capture_output=True, text=True, timeout=timeout,
+            capture_output=True, text=True, timeout=timeout, env=env,
             cwd=os.path.dirname(os.path.abspath(__file__)))
-    except subprocess.TimeoutExpired:
-        return {f"{name}_error": f"timeout after {timeout}s"}
-    for line in reversed((p.stdout or "").strip().splitlines()):
+        rc, stdout, stderr = p.returncode, p.stdout or "", p.stderr or ""
+    except subprocess.TimeoutExpired as e:
+        def _s(b):
+            return b.decode(errors="replace") if isinstance(b, bytes) else (b or "")
+        return {f"{name}_error": f"timeout after {timeout}s",
+                f"{name}_tail": _s(e.stderr)[-1500:]}
+    for line in reversed(stdout.strip().splitlines()):
         line = line.strip()
         if not line.startswith("{"):
             continue
@@ -289,26 +351,52 @@ def _run_child(name: str, timeout: float) -> dict:
             continue
         if isinstance(d, dict):
             return d
-    return {f"{name}_error": f"rc={p.returncode}",
-            f"{name}_tail": (p.stderr or "")[-1500:]}
+    return {f"{name}_error": f"rc={rc}", f"{name}_tail": stderr[-1500:]}
 
 
 def main() -> None:
     if len(sys.argv) >= 3 and sys.argv[1] == "--section":
         # child mode: run one section, print its metrics as one JSON line
+        _arm_watchdog()
         fn = globals()[f"section_{sys.argv[2]}"]
         print(json.dumps(fn()), flush=True)
         return
 
-    details: dict = {}
+    budget = float(os.environ.get("SST_BENCH_BUDGET", "2800"))
+    details: dict = {"run_conditions": {
+        "started_unix": round(_T0, 1),
+        "budget_s": budget,
+        "order": [n for n, _ in SECTIONS],
+    }}
+    elapsed: dict = {}
+    details["run_conditions"]["section_elapsed_s"] = elapsed
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "bench_details.json")
+
+    def flush_details():
+        with open(out_path, "w") as f:
+            json.dump(details, f, indent=2)
+            f.write("\n")
+
     headline_done = False
     skip_model = os.environ.get("SST_BENCH_MODEL", "1") == "0"
     for name, tmo in SECTIONS:
         if name == "maskrcnn" and skip_model:
             continue
-        d = _run_child(name, tmo)
+        remaining = budget - (time.time() - _T0)
+        if remaining < min(tmo, 120):
+            # Not enough budget even for a truncated attempt: mark + move on
+            # (the driver wall must never be what ends this process).
+            details[f"{name}_skipped"] = (
+                f"budget exhausted ({remaining:.0f}s left < {tmo}s timeout)")
+            flush_details()
+            continue
+        eff_tmo = min(tmo, remaining - 30)
+        t_sec = time.time()
+        d = _run_child(name, eff_tmo)
         if name == "tracking" and "tracking_fps" not in d:
-            d = _run_child(name, tmo)                     # one retry
+            d = _run_child(name, eff_tmo)                 # one retry
+        elapsed[name] = round(time.time() - t_sec, 1)
         details.update(d)
         # secondary vs_baseline ratios where BASELINE.md documents a bar:
         # engine: reference Engine::Run self-times ~1 s/keyframe on its dev
@@ -331,9 +419,7 @@ def main() -> None:
                 "vs_baseline": round(fps / 30.0, 2),
             }), flush=True)
             headline_done = True
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "bench_details.json"), "w") as f:
-            json.dump(details, f, indent=2)
+        flush_details()
     if not headline_done:
         # Even a double tracking failure must not lose the round's number:
         # report 0 with the error detail in bench_details.json.

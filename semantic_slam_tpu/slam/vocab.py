@@ -73,6 +73,70 @@ def train_vocabulary(desc_pm1: np.ndarray, valid: np.ndarray,
                       idf=jnp.ones((n_words,), jnp.float32))
 
 
+def _bytes_to_pm1(desc_u8: np.ndarray) -> np.ndarray:
+    """uint8 [*, 32] -> int8 [*, 256] in {-1,+1}, LSB-first per byte (same
+    bit order as ops.orb.unpack_to_pm1)."""
+    bits = np.unpackbits(desc_u8.astype(np.uint8), axis=-1, bitorder="little")
+    return np.where(bits, 1, -1).astype(np.int8)
+
+
+def _pm1_to_bytes(pm1: np.ndarray) -> np.ndarray:
+    bits = (np.asarray(pm1) > 0).astype(np.uint8)
+    return np.packbits(bits, axis=-1, bitorder="little")
+
+
+def vocab_from_dbow2_text(path: str) -> Vocabulary:
+    """Import an ORB-SLAM2 / DBoW2 text vocabulary (ORBvoc.txt) into the
+    flat word-array representation.
+
+    Format (DBoW2 TemplatedVocabulary::loadFromTextFile, loaded by the
+    reference at ``src/Utility.cpp:66-77`` / ``src/ORB_SLAM2/System.cc:66-76``):
+    header line ``k L scoring weighting``, then one line per non-root node:
+    ``parent_id is_leaf b0 .. b31 weight`` (32 descriptor bytes). Leaves
+    become words in file order — exactly DBoW2's word-id assignment rule —
+    so word ids here match what the reference's KeyFrameDatabase would use.
+
+    The tree's interior nodes exist only to accelerate CPU word lookup by
+    approximate descent; on TPU the flat [N,256]x[256,V] Hamming matmul does
+    the *exact* nearest-word assignment, so only the leaves are kept. Leaf
+    weights (idf for TF_IDF weighting) are preserved.
+    """
+    words = []
+    weights = []
+    with open(path) as f:
+        header = f.readline().split()
+        if len(header) < 4:
+            raise ValueError(f"bad DBoW2 header: {header!r}")
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            is_leaf = int(parts[1])
+            if not is_leaf:
+                continue
+            desc = np.array([int(x) for x in parts[2:34]], np.uint8)
+            words.append(desc)
+            weights.append(float(parts[34]))
+    if not words:
+        raise ValueError("DBoW2 vocabulary has no leaf nodes")
+    words_u8 = np.stack(words)                          # [V, 32]
+    return Vocabulary(words_pm1=jnp.asarray(_bytes_to_pm1(words_u8)),
+                      idf=jnp.asarray(np.array(weights, np.float32)))
+
+
+def vocab_to_dbow2_text(vocab: Vocabulary, path: str) -> None:
+    """Export the flat vocabulary as a depth-1 DBoW2 text tree (root with V
+    leaf children) — loadable by the reference's loadFromTextFile."""
+    words_u8 = _pm1_to_bytes(np.asarray(vocab.words_pm1))
+    idf = np.asarray(vocab.idf)
+    V = words_u8.shape[0]
+    with open(path, "w") as f:
+        f.write(f"{V} 1 0 0\n")
+        for i in range(V):
+            bytes_s = " ".join(str(int(b)) for b in words_u8[i])
+            f.write(f"0 1 {bytes_s} {idf[i]:.6g}\n")
+
+
 @jax.jit
 def bow_vector(vocab: Vocabulary, desc_pm1: jnp.ndarray,
                valid: jnp.ndarray) -> jnp.ndarray:
