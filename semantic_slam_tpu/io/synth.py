@@ -62,12 +62,19 @@ def orbit_trajectory(n_frames: int, radius: float = 0.6, look_at=(0.0, 0.0, 3.0)
 
 def observe(scene: SynthScene, Tcw: np.ndarray, cam: CameraConfig,
             max_kp: int = 512, px_noise: float = 0.3, depth_noise: float = 0.005,
-            bit_flips: int = 12, seed: int = 0, drop: float = 0.1):
+            bit_flips: int = 12, seed: int = 0, drop: float = 0.1,
+            rank: Optional[np.ndarray] = None):
     """Simulate a frame: project landmarks, keep those in-frustum, corrupt.
 
     Returns dict with uv [max_kp,2], depth [max_kp], desc_pm1, desc_u8,
     level (all zeros), valid mask, and landmark_id [max_kp] ground-truth
     correspondence (for diagnostics only — never consumed by the SLAM code).
+
+    `rank` ([P] float, higher = stronger) models per-landmark corner
+    strength: when more than max_kp landmarks are visible, the strongest
+    are kept — the way a real detector picks the same physical corners in
+    different views of the same scene (stereo pairs need this overlap).
+    Without it the subset is random per view.
     """
     rs = np.random.RandomState(seed)
     R, t = Tcw[:3, :3], Tcw[:3, 3]
@@ -78,8 +85,12 @@ def observe(scene: SynthScene, Tcw: np.ndarray, cam: CameraConfig,
     vis = (z > 0.2) & (u > 8) & (u < cam.width - 8) & (v > 8) & (v < cam.height - 8)
     vis &= rs.uniform(size=len(z)) > drop
     ids = np.nonzero(vis)[0]
-    rs.shuffle(ids)
-    ids = ids[:max_kp]
+    if rank is not None:
+        ids = ids[np.argsort(-rank[ids])][:max_kp]
+        rs.shuffle(ids)
+    else:
+        rs.shuffle(ids)
+        ids = ids[:max_kp]
     n = len(ids)
 
     uv = np.zeros((max_kp, 2), np.float32)
@@ -101,6 +112,34 @@ def observe(scene: SynthScene, Tcw: np.ndarray, cam: CameraConfig,
     return dict(uv=uv, depth=depth, desc_pm1=desc, desc_u8=desc_u8,
                 level=np.zeros((max_kp,), np.int32),
                 valid=np.arange(max_kp) < n, landmark_id=lid)
+
+
+def observe_stereo(scene: SynthScene, Tcw: np.ndarray, cam: CameraConfig,
+                   max_kp: int = 512, px_noise: float = 0.3,
+                   bit_flips: int = 12, seed: int = 0, drop: float = 0.1):
+    """Simulate a rectified stereo pair: two independent `observe` passes,
+    the right camera displaced by baseline = bf/fx along the camera x-axis
+    (same orientation — rectified geometry, the input contract of
+    ``ops.stereo.stereo_depth`` / ORB-SLAM2 ComputeStereoMatches).
+
+    Returns (left, right) observation dicts. Each side has its own keypoint
+    order, dropout, pixel noise, and descriptor corruption, so recovering
+    depth requires genuine left-right descriptor matching. The left dict's
+    `depth` field is the ground-truth z (diagnostics only — a stereo
+    pipeline must use stereo_depth instead)."""
+    # shared per-landmark corner strength: both views keep the same
+    # strongest landmarks (what a real detector does), so the stereo pair
+    # overlaps even when far more than max_kp are visible
+    rank = np.random.RandomState(97).uniform(size=len(scene.pts_w))
+    left = observe(scene, Tcw, cam, max_kp=max_kp, px_noise=px_noise,
+                   depth_noise=0.0, bit_flips=bit_flips, seed=seed, drop=drop,
+                   rank=rank)
+    Trl = np.eye(4, dtype=np.float32)
+    Trl[0, 3] = -cam.bf / cam.fx
+    right = observe(scene, Trl @ Tcw, cam, max_kp=max_kp, px_noise=px_noise,
+                    depth_noise=0.0, bit_flips=bit_flips,
+                    seed=seed + 7_000_003, drop=drop, rank=rank)
+    return left, right
 
 
 def make_ring_scene(n_points: int = 6000, wall_radius: float = 4.5,
