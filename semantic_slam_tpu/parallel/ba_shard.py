@@ -30,10 +30,19 @@ def bundle_adjust_sharded(mesh: Mesh, intr: Intrinsics, prob: BAProblem,
     """Point-sharded LM bundle adjustment over the mesh's `data` axis.
 
     prob.pt_* and obs_* arrays must have P divisible by the data axis size.
+    Executes as one jitted SPMD program (cached per mesh/iteration counts).
     """
-    K = prob.kf_pose.shape[0]
+    kf_pose, pt_xyz, cost, init_cost = _ba_sharded_prog(
+        mesh, prob.kf_pose.shape[0], iters, trim_rounds)(intr, prob)
+    return BAResult(kf_pose=kf_pose, pt_xyz=pt_xyz, cost=cost,
+                    initial_cost=init_cost)
 
-    def shard_fn(kf_pose, pt_xyz, obs_kf, obs_uv, obs_w, cam_fixed, pt_valid):
+
+@functools.lru_cache(maxsize=64)
+def _ba_sharded_prog(mesh: Mesh, K: int, iters: int, trim_rounds: int):
+
+    def shard_fn(intr, kf_pose, pt_xyz, obs_kf, obs_uv, obs_w, cam_fixed,
+                 pt_valid):
         base_valid = (obs_kf >= 0) & (obs_w > 0) & pt_valid[:, None]
         kidx = jnp.clip(obs_kf, 0, None)
         Pl, O = obs_kf.shape
@@ -159,12 +168,13 @@ def bundle_adjust_sharded(mesh: Mesh, intr: Intrinsics, prob: BAProblem,
 
     fn = shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(), P("data"), P("data"), P("data"), P("data"), P(),
+        in_specs=(P(), P(), P("data"), P("data"), P("data"), P("data"), P(),
                   P("data")),
         out_specs=(P(), P("data"), P(), P()),
         check_vma=False)
-    kf_pose, pt_xyz, cost, init_cost = fn(
-        prob.kf_pose, prob.pt_xyz, prob.obs_kf, prob.obs_uv, prob.obs_w,
-        prob.cam_fixed, prob.pt_valid)
-    return BAResult(kf_pose=kf_pose, pt_xyz=pt_xyz, cost=cost,
-                    initial_cost=init_cost)
+
+    def outer(intr, prob):
+        return fn(intr, prob.kf_pose, prob.pt_xyz, prob.obs_kf, prob.obs_uv,
+                  prob.obs_w, prob.cam_fixed, prob.pt_valid)
+
+    return jax.jit(outer)

@@ -14,6 +14,13 @@ counting); only the object-bank update is order-dependent. The SPMD design:
   - `tsdf_integrate_sharded`: the volume shards over z-slabs (`data` axis);
     each chip integrates the slab it owns against the (replicated) depth
     frame — the spatial scaling axis for large maps (SURVEY.md §5).
+
+Every public entry point executes as ONE jitted SPMD program, cached per
+(mesh, static-params) via ``lru_cache``. Running shard_map eagerly dispatches
+every op separately (with multi-device buffer bookkeeping per op) — that, not
+the collectives, was the round-2 "41% SPMD overhead": the jitted programs
+measure within noise of their single-device equivalents on identical work
+(artifacts/scaling_report.json).
 """
 
 from __future__ import annotations
@@ -31,25 +38,65 @@ from semantic_slam_tpu.semantic.don import don_extract
 from semantic_slam_tpu.semantic import objects as O
 
 
-def don_extract_batch(mesh: Mesh, depths: jnp.ndarray, intr: Intrinsics,
-                      scale1: float, scale2: float, threshold: float,
-                      segradius: float, *, max_clusters: int = 64):
-    """[B, H, W] depths (B divisible by data axis) -> batched DonResult."""
-
-    def one(d):
+@functools.lru_cache(maxsize=64)
+def _don_batch_prog(mesh: Mesh, scale1: float, scale2: float,
+                    threshold: float, segradius: float, max_clusters: int):
+    def one(d, intr):
         r = don_extract(d, intr, scale1, scale2, threshold, segradius,
                         max_clusters=max_clusters)
         return r.cluster_id, r.sizes, r.n_clusters
 
-    def shard_fn(depths):
-        return jax.vmap(one)(depths)
+    def shard_fn(depths, intr):
+        return jax.vmap(lambda d: one(d, intr))(depths)
 
     fn = shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P("data", None, None),),
+        in_specs=(P("data", None, None), P()),
         out_specs=(P("data", None, None), P("data", None), P("data")),
         check_vma=False)
-    return fn(depths)
+    return jax.jit(fn)
+
+
+def don_extract_batch(mesh: Mesh, depths: jnp.ndarray, intr: Intrinsics,
+                      scale1: float, scale2: float, threshold: float,
+                      segradius: float, *, max_clusters: int = 64):
+    """[B, H, W] depths (B divisible by data axis) -> batched DonResult."""
+    return _don_batch_prog(mesh, scale1, scale2, threshold, segradius,
+                           max_clusters)(depths, intr)
+
+
+@functools.lru_cache(maxsize=64)
+def _evidence_prog(mesh: Mesh, prob_thd: float, min_depth: float,
+                   max_depth: float, width: int, height: int):
+    def per_kf(bank, Tcw, depth, mask_er, intr):
+        gates = O.project_gates(bank, Tcw, depth, intr,
+                                jnp.float32(prob_thd), jnp.float32(min_depth),
+                                jnp.float32(max_depth), width=width,
+                                height=height)
+        counts = O.count_mask_inliers(gates, mask_er, width=width,
+                                      height=height)
+        ui = jnp.clip(gates.uv_i[..., 0], 0, width - 1)
+        vi = jnp.clip(gates.uv_i[..., 1], 0, height - 1)
+        in_mask = mask_er[vi, ui]
+        dfg = jnp.where(gates.gate & in_mask, 1.0, 0.0)
+        dbg = jnp.where(gates.gate & ~in_mask, 1.0, 0.0)
+        return counts, dfg, dbg
+
+    def shard_fn(bank, Tcws, depths, masks, intr):
+        c, f, b = jax.vmap(
+            lambda T, d, m: per_kf(bank, T, d, m, intr))(Tcws, depths, masks)
+        c = jax.lax.psum(jnp.sum(c, 0), "data")
+        f = jax.lax.psum(jnp.sum(f, 0), "data")
+        b = jax.lax.psum(jnp.sum(b, 0), "data")
+        return c, f, b
+
+    fn = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P("data", None, None), P("data", None, None),
+                  P("data", None, None), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False)
+    return jax.jit(fn)
 
 
 def object_evidence_batch(mesh: Mesh, bank: O.ObjectBank,
@@ -64,58 +111,20 @@ def object_evidence_batch(mesh: Mesh, bank: O.ObjectBank,
     per keyframe here; callers loop masks). Returns (counts [B_obj], dfg, dbg
     [B_obj, P]) summed over all keyframes via psum.
     """
-
-    def per_kf(Tcw, depth, mask_er):
-        gates = O.project_gates(bank, Tcw, depth, intr,
-                                jnp.float32(prob_thd), jnp.float32(min_depth),
-                                jnp.float32(max_depth), width=width,
-                                height=height)
-        counts = O.count_mask_inliers(gates, mask_er, width=width,
-                                      height=height)
-        ui = jnp.clip(gates.uv_i[..., 0], 0, width - 1)
-        vi = jnp.clip(gates.uv_i[..., 1], 0, height - 1)
-        in_mask = mask_er[vi, ui]
-        dfg = jnp.where(gates.gate & in_mask, 1.0, 0.0)
-        dbg = jnp.where(gates.gate & ~in_mask, 1.0, 0.0)
-        return counts, dfg, dbg
-
-    def shard_fn(Tcws, depths, masks):
-        c, f, b = jax.vmap(per_kf)(Tcws, depths, masks)
-        c = jax.lax.psum(jnp.sum(c, 0), "data")
-        f = jax.lax.psum(jnp.sum(f, 0), "data")
-        b = jax.lax.psum(jnp.sum(b, 0), "data")
-        return c, f, b
-
-    fn = shard_map(
-        shard_fn, mesh=mesh,
-        in_specs=(P("data", None, None), P("data", None, None),
-                  P("data", None, None)),
-        out_specs=(P(), P(), P()),
-        check_vma=False)
-    return fn(Tcws, depths, masks_er)
+    return _evidence_prog(mesh, prob_thd, min_depth, max_depth, width,
+                          height)(bank, Tcws, depths, masks_er, intr)
 
 
-def tsdf_integrate_sharded(mesh: Mesh, tsdf: jnp.ndarray, weight: jnp.ndarray,
-                           origin: jnp.ndarray, base2world: jnp.ndarray,
-                           depth: jnp.ndarray, cam2world: jnp.ndarray,
-                           intr: Intrinsics, *, voxel_size: float,
-                           trunc_margin: float, max_depth: float = 6.0):
-    """Spatially-sharded TSDF integrate: volume split into z-slabs over the
-    `data` axis; each device updates only its slab (no communication — the
-    depth image and pose replicate).
-
-    tsdf/weight: [D, D, D] arrays whose leading (z) dim divides the data axis.
-    """
-    D = tsdf.shape[0]
+@functools.lru_cache(maxsize=64)
+def _tsdf_integrate_prog(mesh: Mesh, D: int, voxel_size: float,
+                         trunc_margin: float, max_depth: float):
     n_shards = mesh.shape["data"]
     slab = D // n_shards
 
-    def shard_fn(ts, wt, depth, cam2world):
+    def shard_fn(ts, wt, origin, cam2base, depth, k4):
         # this device owns z indices [k*slab, (k+1)*slab)
         k = jax.lax.axis_index("data")
         z0 = k * slab
-        from semantic_slam_tpu.ops.tsdf import TsdfVolume
-        cam2base = jnp.linalg.inv(base2world) @ cam2world
         R = cam2base[:3, :3]
         t = cam2base[:3, 3]
         ax = origin[0] + jnp.arange(D, dtype=ts.dtype) * voxel_size
@@ -131,8 +140,8 @@ def tsdf_integrate_sharded(mesh: Mesh, tsdf: jnp.ndarray, weight: jnp.ndarray,
         pcx, pcy, pcz = cam_coord(0), cam_coord(1), cam_coord(2)
         H, W = depth.shape
         zsafe = jnp.where(pcz > 1e-6, pcz, 1.0)
-        u = jnp.round(intr.fx * (pcx / zsafe) + intr.cx).astype(jnp.int32)
-        v = jnp.round(intr.fy * (pcy / zsafe) + intr.cy).astype(jnp.int32)
+        u = jnp.round(k4[0] * (pcx / zsafe) + k4[2]).astype(jnp.int32)
+        v = jnp.round(k4[1] * (pcy / zsafe) + k4[3]).astype(jnp.int32)
         in_img = (pcz > 0) & (u >= 0) & (u < W) & (v >= 0) & (v < H)
         dv = depth[jnp.clip(v, 0, H - 1), jnp.clip(u, 0, W - 1)]
         sdf = dv - pcz
@@ -142,44 +151,51 @@ def tsdf_integrate_sharded(mesh: Mesh, tsdf: jnp.ndarray, weight: jnp.ndarray,
         t_new = (ts * wt + dist) / w_new
         return (jnp.where(ok, t_new, ts), jnp.where(ok, w_new, wt))
 
-    fn = shard_map(
+    inner = shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P("data", None, None), P("data", None, None), P(), P()),
+        in_specs=(P("data", None, None), P("data", None, None),
+                  P(), P(), P(), P()),
         out_specs=(P("data", None, None), P("data", None, None)),
         check_vma=False)
-    return fn(tsdf, weight, depth, cam2world)
+
+    def outer(ts, wt, origin, base2world, depth, cam2world, intr):
+        # hoisted out of the shard body: the 4x4 inverse is computed once in
+        # the program (XLA replicates it), not re-derived per shard branch
+        cam2base = jnp.linalg.inv(base2world) @ cam2world
+        k4 = jnp.stack([intr.fx, intr.fy, intr.cx, intr.cy])
+        return inner(ts, wt, origin, cam2base, depth, k4)
+
+    return jax.jit(outer)
 
 
-def tsdf_surface_sharded(mesh: Mesh, tsdf: jnp.ndarray, weight: jnp.ndarray,
-                         origin: jnp.ndarray, base2world: jnp.ndarray, *,
-                         voxel_size: float, tsdf_thresh: float = 0.2,
-                         weight_thresh: float = 0.9,
-                         max_points_per_shard: int = 32768):
-    """Surface extraction from the z-slab-sharded volume with a one-voxel
-    halo exchange per slab boundary (SURVEY §2.3 "halo exchange via ppermute
-    ring"): surface thresholding is voxel-local, but the central-difference
-    TSDF gradient that orients each surface point needs the z±1 planes, so
-    each device ppermutes its boundary planes to its ring neighbours.
+def tsdf_integrate_sharded(mesh: Mesh, tsdf: jnp.ndarray, weight: jnp.ndarray,
+                           origin: jnp.ndarray, base2world: jnp.ndarray,
+                           depth: jnp.ndarray, cam2world: jnp.ndarray,
+                           intr: Intrinsics, *, voxel_size: float,
+                           trunc_margin: float, max_depth: float = 6.0):
+    """Spatially-sharded TSDF integrate: volume split into z-slabs over the
+    `data` axis; each device updates only its slab (no communication — the
+    depth image and pose replicate).
 
-    Results match ops.tsdf.tsdf_surface_points_normals on the gathered
-    volume (same arithmetic; global z-edges keep their one-sided stencil).
-
-    Returns (points [n_shards, M, 3] world, normals [n_shards, M, 3],
-    valid [n_shards, M], n_surface [n_shards] — the true per-shard surface
-    count so callers can detect M-truncation; nothing is dropped silently).
+    tsdf/weight: [D, D, D] arrays whose leading (z) dim divides the data axis.
     """
+    D = tsdf.shape[0]
+    return _tsdf_integrate_prog(mesh, D, voxel_size, trunc_margin, max_depth)(
+        tsdf, weight, origin, base2world, depth, cam2world, intr)
+
+
+@functools.lru_cache(maxsize=64)
+def _tsdf_surface_prog(mesh: Mesh, Dz: int, D: int, voxel_size: float,
+                       tsdf_thresh: float, weight_thresh: float, M: int):
     from semantic_slam_tpu.ops.compact import compact_indices
     from semantic_slam_tpu.ops.tsdf import _clamped_central_diff
 
-    D = tsdf.shape[1]
-    Dz = tsdf.shape[0]
     n_shards = mesh.shape["data"]
     slab = Dz // n_shards
     fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
     bwd = [(i, (i - 1) % n_shards) for i in range(n_shards)]
-    M = max_points_per_shard
 
-    def shard_fn(ts, wt):
+    def shard_fn(ts, wt, origin, base2world):
         k = jax.lax.axis_index("data")
         z0 = k * slab
         # ---- halo exchange: my first plane goes to the slab below (they
@@ -221,8 +237,32 @@ def tsdf_surface_sharded(mesh: Mesh, tsdf: jnp.ndarray, weight: jnp.ndarray,
 
     fn = shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P("data", None, None), P("data", None, None)),
+        in_specs=(P("data", None, None), P("data", None, None), P(), P()),
         out_specs=(P("data", None, None), P("data", None, None),
                    P("data", None), P("data")),
         check_vma=False)
-    return fn(tsdf, weight)
+    return jax.jit(fn)
+
+
+def tsdf_surface_sharded(mesh: Mesh, tsdf: jnp.ndarray, weight: jnp.ndarray,
+                         origin: jnp.ndarray, base2world: jnp.ndarray, *,
+                         voxel_size: float, tsdf_thresh: float = 0.2,
+                         weight_thresh: float = 0.9,
+                         max_points_per_shard: int = 32768):
+    """Surface extraction from the z-slab-sharded volume with a one-voxel
+    halo exchange per slab boundary (SURVEY §2.3 "halo exchange via ppermute
+    ring"): surface thresholding is voxel-local, but the central-difference
+    TSDF gradient that orients each surface point needs the z±1 planes, so
+    each device ppermutes its boundary planes to its ring neighbours.
+
+    Results match ops.tsdf.tsdf_surface_points_normals on the gathered
+    volume (same arithmetic; global z-edges keep their one-sided stencil).
+
+    Returns (points [n_shards, M, 3] world, normals [n_shards, M, 3],
+    valid [n_shards, M], n_surface [n_shards] — the true per-shard surface
+    count so callers can detect M-truncation; nothing is dropped silently).
+    """
+    return _tsdf_surface_prog(mesh, tsdf.shape[0], tsdf.shape[1], voxel_size,
+                              tsdf_thresh, weight_thresh,
+                              max_points_per_shard)(tsdf, weight, origin,
+                                                    base2world)

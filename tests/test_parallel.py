@@ -1,5 +1,6 @@
 """Multi-chip sharding tests on the 8-device virtual CPU mesh."""
 
+import os
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -156,3 +157,22 @@ def test_object_evidence_batch_psum():
     assert int(counts[0]) == 8 * 128
     assert float(dfg[0].sum()) == 8 * 128
     assert float(dbg.sum()) == 0
+
+
+def test_scaling_report_overhead_budget():
+    """The committed SPMD-overhead artifact must cover all six sharded paths
+    with overhead under the 10% budget (BASELINE.md's 80%-to-2-hosts target
+    needs low partitioning overhead as its necessary condition; regenerate
+    with tools/scaling_report.py)."""
+    import json
+
+    path = os.path.join(os.path.dirname(__file__), "..", "artifacts",
+                        "scaling_report.json")
+    with open(path) as f:
+        report = json.load(f)
+    expected = {"don_extract_batch", "object_evidence_batch",
+                "tsdf_integrate_sharded", "tsdf_surface_sharded",
+                "bundle_adjust_sharded", "train_step_dp_tp"}
+    assert expected <= set(report["sections"]), report["sections"].keys()
+    for name, sec in report["sections"].items():
+        assert sec["spmd_overhead_pct"] < 10.0, (name, sec)
