@@ -292,14 +292,18 @@ class SlamSystem:
         self._loop_closer = LoopCloser(self, vocab)
         self._loop_run_gba = run_global_ba
 
-    def _relocalize(self, fi: FrameInput, max_candidates: int = 5,
+    def _relocalize(self, fi: FrameInput, max_candidates: int = 20,
                     max_points: int = 2048) -> bool:
         """BoW candidate keyframes -> 3D-2D descriptor matching -> pose GN
         (the reference's Tracking::Relocalization flow).
 
         max_candidates bounds the score-ranked keyframes tried per lost
-        frame (upstream tries every DetectRelocalizationCandidates hit; 5
-        covers the plateau — candidates past that share the same scene).
+        frame. Upstream tries EVERY DetectRelocalizationCandidates hit and
+        leans on geometric verification to reject, because BoW scores can be
+        nearly flat (true here too: on random synthetic descriptors the
+        correct keyframe can rank ~15th — tests/test_reloc_midsequence.py).
+        Wrong candidates reject cheaply (< 20 descriptor matches, one
+        matrix + argmin pass), so 20 candidates cost ~ms on a lost frame.
         max_points bounds the per-candidate 3D-2D match set; a keyframe
         observes at most max_kp_per_frame points plus fused extras, so
         2048 never truncates at the configured capacities."""
