@@ -35,6 +35,10 @@ def main():
                     help="synthetic mode: drive the engine with the trained "
                          "Mask R-CNN on textured renders instead of the "
                          "ground-truth oracle")
+    ap.add_argument("--checkpoint", default=None,
+                    help="detector checkpoint .npz (default: the shipped "
+                         "compact one; pass semantic_slam_tpu/data/"
+                         "maskrcnn_full.npz for the contract-size R-50-FPN)")
     ap.add_argument("--viz", action="store_true")
     args = ap.parse_args()
 
@@ -53,7 +57,8 @@ def main():
         from semantic_slam_tpu.geometry import se3_inverse
         if args.model:
             scene = synth.make_shape_scene(3, seed=1)
-            det = MaskRCNNDetector(max_masks=cfg.engine.max_masks)
+            det = MaskRCNNDetector(max_masks=cfg.engine.max_masks,
+                                   checkpoint_path=args.checkpoint)
         else:
             scene = synth.make_box_scene(3, seed=1)
             det = OracleDetector(scene, cfg.camera, max_masks=8)

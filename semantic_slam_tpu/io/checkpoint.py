@@ -77,22 +77,30 @@ def load_object_bank(path: str, bank_cls=None):
     return bank_cls(**{k: jnp.asarray(z[k]) for k in z.files})
 
 
-def save_params(path: str, params) -> None:
+def save_params(path: str, params, dtype=None) -> None:
     """Serialize a (nested-dict) Flax param tree to one .npz: keys are the
     '/'-joined tree paths. Counterpart of the reference's torch .pth model
     files (``src/MaskRCNN.py.in`` loads COCO weights; here we ship weights
-    trained in-framework on the synthetic scenes)."""
+    trained in-framework on the synthetic scenes).
+
+    `dtype` (e.g. "float16") down-casts float leaves for storage — the
+    full-size checkpoint ships in f16 (the model computes in bf16, so f16
+    storage loses nothing that matters); load_params restores float32."""
     import jax
 
     flat = {}
     for path_keys, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
         key = "/".join(str(getattr(k, "key", k)) for k in path_keys)
-        flat[key] = np.asarray(leaf)
+        a = np.asarray(leaf)
+        if dtype is not None and np.issubdtype(a.dtype, np.floating):
+            a = a.astype(dtype)
+        flat[key] = a
     np.savez_compressed(path, **flat)
 
 
 def load_params(path: str):
-    """Inverse of save_params: .npz -> nested dict of jnp arrays."""
+    """Inverse of save_params: .npz -> nested dict of jnp arrays (float
+    leaves widened back to float32)."""
     import jax.numpy as jnp
 
     z = np.load(path, allow_pickle=False)
@@ -102,7 +110,10 @@ def load_params(path: str):
         parts = key.split("/")
         for p in parts[:-1]:
             node = node.setdefault(p, {})
-        node[parts[-1]] = jnp.asarray(z[key])
+        a = z[key]
+        if np.issubdtype(a.dtype, np.floating) and a.dtype != np.float32:
+            a = a.astype(np.float32)
+        node[parts[-1]] = jnp.asarray(a)
     return params
 
 

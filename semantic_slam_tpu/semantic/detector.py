@@ -85,6 +85,32 @@ def default_checkpoint_path() -> str:
         os.path.abspath(__file__))), "data", "maskrcnn_synth.npz")
 
 
+def full_checkpoint_path() -> str:
+    """The contract-size R-50-FPN checkpoint (models/maskrcnn.py defaults —
+    the reference's MaskRCNN.py.in architecture), trained in-framework on
+    the synth curriculum (tools/train_maskrcnn.py --variant full)."""
+    import os
+
+    return os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "data", "maskrcnn_full.npz")
+
+
+def _model_for_checkpoint(path):
+    """Pick the architecture variant recorded in the checkpoint's meta json
+    (written by tools/train_maskrcnn.py); synth-compact when absent."""
+    import json
+    import os
+
+    from semantic_slam_tpu.models.maskrcnn import MaskRCNN
+
+    meta_path = path.replace(".npz", "_meta.json")
+    variant = "synth"
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            variant = json.load(f).get("variant", "synth")
+    return MaskRCNN() if variant == "full" else MaskRCNN.synth()
+
+
 class MaskRCNNDetector:
     """Flax Mask R-CNN inference wrapper (models/maskrcnn.py).
 
@@ -109,7 +135,7 @@ class MaskRCNNDetector:
         if model is None and params is None:
             path = checkpoint_path or default_checkpoint_path()
             if os.path.exists(path):
-                model = MaskRCNN.synth()
+                model = _model_for_checkpoint(path)
                 params = load_params(path)
                 self.infer_hw = (240, 320)
         self.model = model or MaskRCNN()

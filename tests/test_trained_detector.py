@@ -26,6 +26,51 @@ pytestmark = pytest.mark.skipif(
     reason="shipped checkpoint missing")
 
 
+def test_full_checkpoint_meets_raised_bars():
+    """The CONTRACT-SIZE R-50-FPN checkpoint (models/maskrcnn.py defaults,
+    the reference's MaskRCNN.py.in architecture; 44M params, trained by
+    tools/train_maskrcnn.py --variant full) at the round-3 acceptance bars:
+    frac IoU>=0.7 must be >= 0.85 and label accuracy >= 0.9 on held-out
+    scenes at the 0.8 confidence gate."""
+    from semantic_slam_tpu.semantic.detector import full_checkpoint_path
+
+    if not os.path.exists(full_checkpoint_path()):
+        pytest.skip("full-size checkpoint missing")
+    cam = half_cam()
+    det = MaskRCNNDetector(max_masks=8,
+                           checkpoint_path=full_checkpoint_path())
+    assert det.infer_hw == (240, 320)
+    assert sum(x.size for x in __import__("jax").tree_util.tree_leaves(
+        det.params)) > 40e6, "not the contract-size architecture"
+    rs = np.random.RandomState(424242)
+    ious, labels_ok, n_gt = [], [], 0
+    for t in range(4):
+        scene = synth.make_shape_scene(3, seed=50_000 + t)
+        Twc = synth.random_viewpoint(rs)
+        _, inst = synth.render_scene(scene, Twc, cam)
+        rgb = synth.render_rgb_textured(scene, Twc, cam, seed=t)
+        out = det.predict(rgb)
+        for b in range(len(scene.labels)):
+            gt = inst == b
+            if gt.sum() < 100:
+                continue
+            n_gt += 1
+            best, best_lab = 0.0, False
+            for m in range(len(out.labels)):
+                if not out.valid[m]:
+                    continue
+                iou = _gt_iou(out.masks[m], gt)
+                if iou > best:
+                    best = iou
+                    best_lab = int(out.labels[m]) == int(scene.labels[b])
+            ious.append(best)
+            labels_ok.append(best_lab)
+    assert n_gt >= 6
+    ious = np.asarray(ious)
+    assert (ious >= 0.7).mean() >= 0.85, ious
+    assert np.mean(labels_ok) >= 0.9, labels_ok
+
+
 def half_cam():
     from semantic_slam_tpu.config import CameraConfig
 

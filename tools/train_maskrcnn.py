@@ -124,10 +124,17 @@ def main():
     ap.add_argument("--n-eval", type=int, default=24)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--out", default=os.path.join(
-        REPO, "semantic_slam_tpu", "data", "maskrcnn_synth.npz"))
+    ap.add_argument("--variant", choices=("synth", "full"), default="synth",
+                    help="synth = compact committable checkpoint; full = the "
+                         "contract-size R-50-FPN (models/maskrcnn.py "
+                         "defaults, the reference's MaskRCNN.py.in config)")
+    ap.add_argument("--out", default=None)
     ap.add_argument("--resume", action="store_true")
     args = ap.parse_args()
+    if args.out is None:
+        name = "maskrcnn_synth.npz" if args.variant == "synth" \
+            else "maskrcnn_full.npz"
+        args.out = os.path.join(REPO, "semantic_slam_tpu", "data", name)
 
     import jax
     import jax.numpy as jnp
@@ -143,7 +150,7 @@ def main():
     ds_eval = build_dataset(args.n_eval, cam, seed=args.seed + 7777)
     print(f"  rendered in {time.time() - t0:.1f}s", flush=True)
 
-    model = MaskRCNN.synth()
+    model = MaskRCNN.synth() if args.variant == "synth" else MaskRCNN()
     rng = jax.random.PRNGKey(args.seed)
     if args.resume and os.path.exists(args.out):
         params = checkpoint.load_params(args.out)
@@ -188,8 +195,15 @@ def main():
                 + f"  ({time.time() - t0:.0f}s)", flush=True)
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
-    checkpoint.save_params(args.out, params)
+    # full-size checkpoint ships in f16 (halves the file; the model computes
+    # in bf16 anyway). Evaluate AFTER the round-trip so the recorded metrics
+    # are exactly what a loader of the shipped file gets.
+    store_f16 = args.variant == "full"
+    checkpoint.save_params(args.out, params, dtype="float16" if store_f16
+                           else None)
     print("saved", args.out, f"({os.path.getsize(args.out) / 1e6:.1f} MB)")
+    if store_f16:
+        params = checkpoint.load_params(args.out)
 
     for gate in (0.5, 0.8):
         m = evaluate(model, params, ds_eval, range(args.n_eval), gate)
@@ -197,8 +211,10 @@ def main():
         if gate == 0.8:
             with open(args.out.replace(".npz", "_meta.json"), "w") as f:
                 json.dump(dict(steps=args.steps, n_params=int(n_params),
+                               variant=args.variant,
                                train_res=[cam.height, cam.width], **m), f,
                           indent=2)
+                f.write("\n")
 
 
 if __name__ == "__main__":
