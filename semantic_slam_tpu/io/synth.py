@@ -180,6 +180,39 @@ def ring_trajectory(n_frames: int, radius: float = 3.5,
     return poses.astype(np.float32)
 
 
+def spiral_ring_trajectory(n_frames: int, radius: float = 3.5,
+                           lap1: float = 1.08, ramp: float = 0.12,
+                           lap2: float = 1.1, y2: float = 0.9) -> np.ndarray:
+    """[N, 4, 4] Tcw: two stacked ring laps joined by a smooth vertical ramp
+    — a "spiral staircase" double loop. The camera circles at y=0 for `lap1`
+    laps (first loop closes at one lap), climbs to y=`y2` over `ramp` laps,
+    then circles the upper wall band for `lap2` laps (second loop). The two
+    loops overlap in the ramp region and via the shared essential graph, so
+    a second closure must not reopen the first (persistent loop edges)."""
+    total = lap1 + ramp + lap2
+    poses = np.zeros((n_frames, 4, 4))
+    for i in range(n_frames):
+        s = total * i / max(n_frames - 1, 1)          # laps travelled
+        phi = 2.0 * np.pi * s
+        if s <= lap1:
+            y = 0.0
+        elif s <= lap1 + ramp:
+            f = (s - lap1) / ramp
+            y = y2 * (3 * f * f - 2 * f ** 3)         # smoothstep climb
+        else:
+            y = y2
+        sa, ca = np.sin(phi), np.cos(phi)
+        c = np.array([radius * sa, y, radius * ca])
+        x = np.array([ca, 0.0, -sa])
+        yv = np.array([0.0, 1.0, 0.0])
+        z = np.array([sa, 0.0, ca])
+        Twc = np.eye(4)
+        Twc[:3, :3] = np.stack([x, yv, z], 1)
+        Twc[:3, 3] = c
+        poses[i] = np.linalg.inv(Twc)
+    return poses.astype(np.float32)
+
+
 # ---------------------------------------------------------------------------
 # Dense renders (for DoN / TSDF / engine tests)
 # ---------------------------------------------------------------------------
