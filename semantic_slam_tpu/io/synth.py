@@ -280,6 +280,61 @@ def render_depth(scene, Twc: np.ndarray, cam: CameraConfig,
             best_id.reshape(H, W).astype(np.int32))
 
 
+def _cell_hash(i: np.ndarray, j: np.ndarray, salt: int) -> np.ndarray:
+    """Deterministic [0,1) value per integer cell (world-anchored texture)."""
+    h = (i.astype(np.int64) * 73856093 + j.astype(np.int64) * 19349663
+         + salt * 83492791) & 0xFFFFFFFF
+    h = (h * 2654435761) & 0xFFFFFFFF
+    h = h ^ (h >> 16)
+    h = (h * 2246822519) & 0xFFFFFFFF
+    return ((h >> 8) & 0xFFFF).astype(np.float64) / 65535.0
+
+
+def render_ring_textured(Tcw: np.ndarray, cam: CameraConfig,
+                         wall_radius: float = 4.5, seed: int = 0,
+                         px_noise: float = 0.0, depth_noise: float = 0.0):
+    """Photometric render of the ring-corridor wall: analytic ray-cylinder
+    intersection per pixel, with a multi-scale random-cell texture anchored
+    to the wall's (arc-length, height) surface coordinates — so image
+    corners are world-fixed and re-detectable across viewpoints. This is the
+    substrate for the pixels-first north-star: the full ORB front end
+    (pyramid, FAST, steered BRIEF) runs on these frames instead of
+    ``observe``'s pre-made descriptors.
+
+    Returns (gray [H, W] f32 in [0, 255], depth [H, W] f32 meters, z-depth
+    convention matching the RGB-D backprojection in slam/tracking.py).
+    """
+    H, W = cam.height, cam.width
+    Twc = np.linalg.inv(np.asarray(Tcw, np.float64))
+    Rwc, c = Twc[:3, :3], Twc[:3, 3]
+    u, v = np.meshgrid(np.arange(W), np.arange(H))
+    x = (u - cam.cx) / cam.fx
+    y = (v - cam.cy) / cam.fy
+    dirs = np.stack([x, y, np.ones_like(x)], -1) @ Rwc.T      # [H, W, 3]
+    # inside-out ray-cylinder: |c_xz + t d_xz|^2 = R^2, positive root
+    a = dirs[..., 0] ** 2 + dirs[..., 2] ** 2
+    b = 2.0 * (c[0] * dirs[..., 0] + c[2] * dirs[..., 2])
+    cc = c[0] ** 2 + c[2] ** 2 - wall_radius ** 2
+    disc = np.maximum(b * b - 4 * a * cc, 0.0)
+    t = (-b + np.sqrt(disc)) / np.maximum(2 * a, 1e-12)       # z-depth
+    p = c + t[..., None] * dirs
+    theta = np.mod(np.arctan2(p[..., 0], p[..., 2]), 2 * np.pi)
+    s = theta * wall_radius                                   # arc length
+    h = p[..., 1]
+    gray = np.zeros((H, W))
+    for wgt, cell, salt in ((0.45, 0.18, 1), (0.35, 0.06, 2), (0.20, 0.45, 3)):
+        gray += wgt * _cell_hash(np.floor(s / cell), np.floor(h / cell), salt)
+    gray = 40.0 + 170.0 * gray
+    if px_noise > 0 or depth_noise > 0:
+        rs = np.random.RandomState(seed)
+        if px_noise > 0:
+            gray = gray + rs.normal(0, px_noise, gray.shape)
+    if depth_noise > 0:
+        t = t * (1.0 + rs.normal(0, depth_noise, t.shape))
+    return (np.clip(gray, 0, 255).astype(np.float32),
+            t.astype(np.float32))
+
+
 def render_rgb_from_inst(inst: np.ndarray, seed: int = 0) -> np.ndarray:
     """Flat-colored RGB uint8 render from an instance-id image (for display
     paths; the semantic engine consumes depth + masks, not textures)."""

@@ -48,6 +48,11 @@ class Engine:
         self.bank = O.ObjectBank.empty(e.max_objects, e.max_points_per_object)
         self._erode_r = max(1, int(math.ceil(e.dist)))
         self._res_r = int(math.ceil(e.res))
+        # per-slot display colors, precomputed once (same RNG stream the
+        # host allocator used, so saved PLY colors are unchanged)
+        self._color_table = jnp.asarray(np.stack(
+            [np.random.RandomState(o + 7).uniform(0.2, 1.0, 3)
+             for o in range(e.max_objects)]), jnp.float32)
         # per-object TSDF reconstruction (the reference plumbs this but ships
         # it disabled — Engine.cpp:221-233, Object.cpp:66-68; here it's an
         # opt-in working path over the blocked kernel)
@@ -66,15 +71,15 @@ class Engine:
         detections may be given directly (stage-2 drivers with an oracle or a
         precomputed model pass); otherwise self.detector.predict(rgb) runs.
 
-        The per-mask work runs BATCHED in one fused device program
-        (objects.keyframe_phase_a) against the keyframe-start bank snapshot —
-        the faithful batching of the reference's ``#pragma omp parallel for``
-        mask loop (Engine.cpp:170-172), where every mask races against the
-        keyframe-entry object state. The host reads back ONE packed vector
-        per keyframe (area gates, match decisions, Hu moments, centroids,
-        free-slot map) instead of ~5 scalars per mask; creations and
-        densifications then stream as pipelined dispatches with a single
-        final pt_n readback for the insert-or-delete rule.
+        The ENTIRE per-keyframe mask pass — match decisions, probability
+        updates, free-slot assignment, object creation, densification, and
+        the insert-or-delete rule — runs as ONE fused device program
+        (objects.keyframe_phase_ab), the faithful batching of the
+        reference's ``#pragma omp parallel for`` mask loop
+        (Engine.cpp:170-265). The host does a single packed readback per
+        keyframe and only updates Inventory bookkeeping from it; through a
+        remote transport (~30 ms/readback) this halves the old
+        two-readback + per-mask-dispatch cost.
         """
         e = self.cfg.engine
         depth_j = jnp.asarray(depth, jnp.float32)
@@ -95,91 +100,52 @@ class Engine:
             # Engine.cpp:145-148 warning path
             return
 
-        # ---- phase A: one fused program over all masks, one readback ------
+        # ---- one fused program, one readback ------------------------------
         t0 = time.perf_counter()
         M = detections.masks.shape[0]
-        B = e.max_objects
-        batch = O.keyframe_phase_a(
+        batch = O.keyframe_phase_ab(
             self.bank, Tcw_j, depth_j, self.intr,
             jnp.asarray(np.asarray(detections.masks)),
             jnp.asarray(np.asarray(detections.labels), jnp.int32),
             jnp.asarray(np.asarray(detections.scores), jnp.float32),
             jnp.asarray(det_valid),
-            don_res.cluster_id, don_res.n_clusters,
+            don_res.cluster_id, don_res.n_clusters, self._color_table,
             jnp.float32(e.prob_thd), jnp.float32(e.min_depth),
             jnp.float32(e.max_depth), jnp.float32(e.min_area),
             jnp.float32(e.max_area), jnp.int32(e.min_point_count),
             jnp.float32(e.score_margin), jnp.float32(e.overlap),
             n_clusters_cap=self.cfg.don.max_clusters,
             erode_radius=self._erode_r,
-            width=self.cfg.camera.width, height=self.cfg.camera.height)
-        pack = np.asarray(batch.pack)
+            width=self.cfg.camera.width, height=self.cfg.camera.height,
+            sensor=e.sensor, res_radius=self._res_r, max_new=1024)
+        pack = np.asarray(batch.pack)                    # the ONE readback
+        self.bank = batch.bank
         n_clusters = int(pack[0])
-        slot_free = pack[1:1 + B] < 0.5
-        rows = pack[1 + B:].reshape(M, 11)
+        rows = pack[1:].reshape(M, 13)
         self.timing["track"].append(time.perf_counter() - t0)
 
         if n_clusters == 0:
             return
-        self.bank = batch.bank          # probability updates applied
         self.inventory.add_keyframe(kf_id, Tcw)
 
-        # ---- phase B: creations + densification (dispatches, no readbacks)
-        processed = []                  # (mask i, oidx, is_new)
+        # ---- host: Inventory bookkeeping + opt-in per-object TSDF ---------
+        t0 = time.perf_counter()
         for i in range(M):
-            if not det_valid[i] or rows[i, 1] < 0.5:
+            if rows[i, 1] < 0.5:                         # not processed
                 continue
-            label = int(detections.labels[i])
-            score = float(detections.scores[i])
             oidx = int(rows[i, 0])
-            is_new = oidx < 0
-
-            t0 = time.perf_counter()
-            if is_new:
-                free = np.nonzero(slot_free)[0]
-                if len(free) == 0:
-                    continue            # bank full
-                oidx = int(free[0])
-                slot_free[oidx] = False
-                color = jnp.asarray(
-                    np.random.RandomState(oidx + 7).uniform(0.2, 1.0, 3),
-                    jnp.float32)
-                self.bank = O.init_object(self.bank, jnp.int32(oidx),
-                                          jnp.int32(label), jnp.float32(score),
-                                          color)
-            self.timing["create"].append(time.perf_counter() - t0)
-
-            t0 = time.perf_counter()
-            self.bank = O.add_segment(
-                self.bank, jnp.int32(oidx), batch.fused[i], depth_j, Tcw_j,
-                self.intr, jnp.float32(score), batch.gates,
-                jnp.float32(e.min_depth), jnp.float32(e.max_depth),
-                sensor=e.sensor, res_radius=self._res_r, max_new=1024)
-            self.timing["densify"].append(time.perf_counter() - t0)
-
-            # per-object TSDF integration from mask-multiplied depth
-            # (the Object::Integrate contract, Engine.cpp:192-193/221-233)
             if self.enable_tsdf:
-                t0 = time.perf_counter()
+                tt = time.perf_counter()
                 self._integrate_tsdf(oidx, jnp.asarray(detections.masks[i]),
                                      depth_j, Tcw_j)
-                self.timing["tsdf"].append(time.perf_counter() - t0)
-
-            processed.append((i, oidx, is_new))
-
-        # ---- insert-or-delete (HasEnoughObjectPoints rule): ONE readback --
-        t0 = time.perf_counter()
-        pt_n = np.asarray(self.bank.pt_n)
-        for i, oidx, is_new in processed:
-            if pt_n[oidx] > e.min_point_count:
+                self.timing["tsdf"].append(time.perf_counter() - tt)
+            if rows[i, 3] > 0.5:                         # kept
                 self.inventory.observe(
                     oidx, kf_id, int(detections.labels[i]),
                     float(detections.scores[i]),
                     bbox=detections.boxes[i],
-                    hu=rows[i, 2:9].copy(),
-                    centroid=rows[i, 9:11].copy())
-            elif is_new:
-                self.bank = O.release_object(self.bank, jnp.int32(oidx))
+                    hu=rows[i, 4:11].copy(),
+                    centroid=rows[i, 11:13].copy())
         self.timing["insert"].append(time.perf_counter() - t0)
 
         if self.viewer is not None:

@@ -279,35 +279,20 @@ class KeyframeBatch(NamedTuple):
     gates: ProjGates       # snapshot projections (for add_segment spacing)
 
 
-@functools.partial(jax.jit, static_argnames=("n_clusters_cap", "erode_radius",
-                                             "width", "height"))
-def keyframe_phase_a(bank: ObjectBank, Tcw: jnp.ndarray, depth: jnp.ndarray,
-                     intr: Intrinsics, masks: jnp.ndarray, labels: jnp.ndarray,
-                     scores: jnp.ndarray, det_valid: jnp.ndarray,
-                     cluster_id: jnp.ndarray, n_clusters: jnp.ndarray,
-                     prob_thd: jnp.ndarray, min_depth: jnp.ndarray,
-                     max_depth: jnp.ndarray, min_area: jnp.ndarray,
-                     max_area: jnp.ndarray, min_point_count: jnp.ndarray,
-                     score_margin: jnp.ndarray, overlap_thd: jnp.ndarray,
-                     *, n_clusters_cap: int, erode_radius: int,
-                     width: int = 640, height: int = 480) -> KeyframeBatch:
-    """ALL masks of one keyframe against the bank snapshot, in ONE program.
-
-    The reference's per-mask loop is ``#pragma omp parallel for``
-    (Engine.cpp:170-172): every mask races against the keyframe-start object
-    state, so snapshot semantics — every mask matched/updated against the
-    bank as of keyframe entry — is the faithful (and deterministic)
-    batching. Per mask: area gate, erosion, inlier counting (c1), the
-    c1∧(c3∨c4) match decision, fg/bg probability updates for matched
-    objects (applied summed over masks), Hu moments + centroid, DoN∧mask
-    fusion. Everything the sequential host loop read back one scalar at a
-    time (~30 ms each through a remote transport) is packed into ONE f32
-    vector:
-
-      pack[0]              n_clusters (forwarded — saves its own readback)
-      pack[1 : 1+B]        bank.obj_valid (0/1) — free-slot map for host alloc
-      pack[1+B :]          M rows × 11: [midx, area_ok, hu0..hu6, cx, cy]
-    """
+def _phase_a_core(bank: ObjectBank, Tcw: jnp.ndarray, depth: jnp.ndarray,
+                  intr: Intrinsics, masks: jnp.ndarray, labels: jnp.ndarray,
+                  scores: jnp.ndarray, det_valid: jnp.ndarray,
+                  cluster_id: jnp.ndarray,
+                  prob_thd: jnp.ndarray, min_depth: jnp.ndarray,
+                  max_depth: jnp.ndarray, min_area: jnp.ndarray,
+                  max_area: jnp.ndarray, min_point_count: jnp.ndarray,
+                  score_margin: jnp.ndarray, overlap_thd: jnp.ndarray,
+                  *, n_clusters_cap: int, erode_radius: int,
+                  width: int, height: int):
+    """Shared traced body of the per-keyframe mask pass: area gates, match
+    decisions, fg/bg evidence sums, Hu/centroid, DoN∧mask fusion. Returns
+    the raw pieces so phase-A-only and fused phase-A+B callers can pack
+    them differently."""
     from semantic_slam_tpu.ops.maskops import (
         erode as _erode, hu_moments as _hu, mask_centroid as _cen)
 
@@ -351,8 +336,6 @@ def keyframe_phase_a(bank: ObjectBank, Tcw: jnp.ndarray, depth: jnp.ndarray,
                         (upd & in_mask).astype(f32))
     bg_add = jnp.einsum("m,mbp->bp", scores,
                         (upd & ~in_mask).astype(f32))
-    new_bank = dataclasses.replace(bank, pt_fg=bank.pt_fg + fg_add,
-                                   pt_bg=bank.pt_bg + bg_add)
 
     hu = jax.vmap(_hu)(masks)                                    # [M, 7]
     cen = jax.vmap(_cen)(masks)                                  # [M, 2]
@@ -366,6 +349,47 @@ def keyframe_phase_a(bank: ObjectBank, Tcw: jnp.ndarray, depth: jnp.ndarray,
     keep_px = jnp.einsum("hwc,mc->mhw", onehot, keep.astype(f32)) > 0
     fused = keep_px & masks_er
 
+    return (masks_er, area_ok, gates, midx, fg_add, bg_add, hu, cen, fused)
+
+
+@functools.partial(jax.jit, static_argnames=("n_clusters_cap", "erode_radius",
+                                             "width", "height"))
+def keyframe_phase_a(bank: ObjectBank, Tcw: jnp.ndarray, depth: jnp.ndarray,
+                     intr: Intrinsics, masks: jnp.ndarray, labels: jnp.ndarray,
+                     scores: jnp.ndarray, det_valid: jnp.ndarray,
+                     cluster_id: jnp.ndarray, n_clusters: jnp.ndarray,
+                     prob_thd: jnp.ndarray, min_depth: jnp.ndarray,
+                     max_depth: jnp.ndarray, min_area: jnp.ndarray,
+                     max_area: jnp.ndarray, min_point_count: jnp.ndarray,
+                     score_margin: jnp.ndarray, overlap_thd: jnp.ndarray,
+                     *, n_clusters_cap: int, erode_radius: int,
+                     width: int = 640, height: int = 480) -> KeyframeBatch:
+    """ALL masks of one keyframe against the bank snapshot, in ONE program.
+
+    The reference's per-mask loop is ``#pragma omp parallel for``
+    (Engine.cpp:170-172): every mask races against the keyframe-start object
+    state, so snapshot semantics — every mask matched/updated against the
+    bank as of keyframe entry — is the faithful (and deterministic)
+    batching. Per mask: area gate, erosion, inlier counting (c1), the
+    c1∧(c3∨c4) match decision, fg/bg probability updates for matched
+    objects (applied summed over masks), Hu moments + centroid, DoN∧mask
+    fusion. Everything the sequential host loop read back one scalar at a
+    time (~30 ms each through a remote transport) is packed into ONE f32
+    vector:
+
+      pack[0]              n_clusters (forwarded — saves its own readback)
+      pack[1 : 1+B]        bank.obj_valid (0/1) — free-slot map for host alloc
+      pack[1+B :]          M rows × 11: [midx, area_ok, hu0..hu6, cx, cy]
+    """
+    f32 = jnp.float32
+    (masks_er, area_ok, gates, midx, fg_add, bg_add, hu, cen,
+     fused) = _phase_a_core(
+        bank, Tcw, depth, intr, masks, labels, scores, det_valid, cluster_id,
+        prob_thd, min_depth, max_depth, min_area, max_area, min_point_count,
+        score_margin, overlap_thd, n_clusters_cap=n_clusters_cap,
+        erode_radius=erode_radius, width=width, height=height)
+    new_bank = dataclasses.replace(bank, pt_fg=bank.pt_fg + fg_add,
+                                   pt_bg=bank.pt_bg + bg_add)
     rows = jnp.concatenate([
         midx.astype(f32)[:, None], area_ok.astype(f32)[:, None],
         hu.astype(f32), cen.astype(f32)], axis=1)                # [M, 11]
@@ -375,6 +399,183 @@ def keyframe_phase_a(bank: ObjectBank, Tcw: jnp.ndarray, depth: jnp.ndarray,
         rows.reshape(-1)])
     return KeyframeBatch(bank=new_bank, pack=pack, masks_er=masks_er,
                          fused=fused, gates=gates)
+
+
+class KeyframeBatchAB(NamedTuple):
+    """Device outputs of the FULLY fused per-keyframe pass (phase A + B)."""
+    bank: ObjectBank       # final bank: matched+created+densified+culled
+    pack: jnp.ndarray      # [1 + M*13] f32 host pack (see keyframe_phase_ab)
+    fused: jnp.ndarray     # [M, H, W] bool DoN∧mask fused segments
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_clusters_cap", "erode_radius", "width", "height", "sensor",
+    "res_radius", "max_new"))
+def keyframe_phase_ab(bank: ObjectBank, Tcw: jnp.ndarray, depth: jnp.ndarray,
+                      intr: Intrinsics, masks: jnp.ndarray,
+                      labels: jnp.ndarray, scores: jnp.ndarray,
+                      det_valid: jnp.ndarray, cluster_id: jnp.ndarray,
+                      n_clusters: jnp.ndarray, color_table: jnp.ndarray,
+                      prob_thd: jnp.ndarray, min_depth: jnp.ndarray,
+                      max_depth: jnp.ndarray, min_area: jnp.ndarray,
+                      max_area: jnp.ndarray, min_point_count: jnp.ndarray,
+                      score_margin: jnp.ndarray, overlap_thd: jnp.ndarray,
+                      *, n_clusters_cap: int, erode_radius: int,
+                      width: int = 640, height: int = 480, sensor: int = 2,
+                      res_radius: int = 0,
+                      max_new: int = 1024) -> KeyframeBatchAB:
+    """The WHOLE per-keyframe engine pass in one compiled program.
+
+    Extends ``keyframe_phase_a`` with everything the host loop used to
+    dispatch per mask (Engine.cpp:170-265's body): free-slot assignment for
+    unmatched masks (ascending free slots in mask order — exactly the host's
+    ``free[0]`` policy), batched ``init_object``, sequential densification
+    (``lax.fori_loop`` over masks so two masks hitting the same object
+    append, not overwrite), and the insert-or-delete rule
+    (HasEnoughObjectPoints, Engine.cpp:247-250). The host does ONE readback
+    per keyframe:
+
+      pack[0]    n_clusters
+      pack[1:]   M rows × 13: [oidx, processed, is_new, kept,
+                               hu0..hu6, cx, cy]
+
+    ``oidx`` is the final slot (matched or newly assigned), ``processed``
+    means the mask passed the gates and got a slot, ``kept`` the
+    insert-or-delete outcome (drives host-side Inventory bookkeeping).
+    color_table: [B, 3] precomputed per-slot display colors (host RNG
+    parity).
+
+    Early-return parity: the host applied NOTHING when the DoN pass found
+    zero clusters (Engine.cpp:145-148 path); every write below is gated on
+    ``n_clusters > 0``.
+    """
+    from semantic_slam_tpu.ops.maskops import dilate as _dilate
+
+    M = masks.shape[0]
+    B, P = bank.pt_valid.shape
+    f32, i32 = jnp.float32, jnp.int32
+
+    (masks_er, area_ok, gates, midx, fg_add, bg_add, hu, cen,
+     fused) = _phase_a_core(
+        bank, Tcw, depth, intr, masks, labels, scores, det_valid, cluster_id,
+        prob_thd, min_depth, max_depth, min_area, max_area, min_point_count,
+        score_margin, overlap_thd, n_clusters_cap=n_clusters_cap,
+        erode_radius=erode_radius, width=width, height=height)
+
+    have = n_clusters > 0
+    gate_f = have.astype(f32)
+    bank1 = dataclasses.replace(bank, pt_fg=bank.pt_fg + gate_f * fg_add,
+                                pt_bg=bank.pt_bg + gate_f * bg_add)
+
+    # ---- slot assignment: unmatched masks take ascending free slots -------
+    is_new = area_ok & (midx < 0) & have                           # [M]
+    free_sorted = jnp.nonzero(~bank.obj_valid, size=B,
+                              fill_value=B - 1)[0]                 # [B]
+    n_free = jnp.sum(~bank.obj_valid).astype(i32)
+    new_rank = jnp.cumsum(is_new.astype(i32)) - 1                  # [M]
+    has_slot = is_new & (new_rank < n_free)
+    assigned = jnp.where(has_slot,
+                         free_sorted[jnp.clip(new_rank, 0, B - 1)], -1)
+    oidx_f = jnp.where(midx >= 0, midx, assigned).astype(i32)      # [M]
+    proc = area_ok & (oidx_f >= 0) & have                          # [M]
+
+    # ---- batched init_object for the new slots ---------------------------
+    new_slot = jax.nn.one_hot(jnp.where(has_slot, assigned, B),
+                              B, dtype=bool)                       # [M, B]
+    any_new = jnp.any(new_slot, 0)                                 # [B]
+    sel = new_slot.astype(f32)
+    lab_new = jnp.einsum("mb,m->b", sel, labels.astype(f32)).astype(i32)
+    sco_new = jnp.einsum("mb,m->b", sel, scores)
+    seq_new = (bank.n_created
+               + jnp.einsum("mb,m->b", sel, new_rank.astype(f32)).astype(i32))
+    bank1 = dataclasses.replace(
+        bank1,
+        obj_valid=bank1.obj_valid | any_new,
+        obj_label=jnp.where(any_new, lab_new, bank1.obj_label),
+        obj_score=jnp.where(any_new, sco_new, bank1.obj_score),
+        obj_color=jnp.where(any_new[:, None], color_table, bank1.obj_color),
+        obj_created=jnp.where(any_new, seq_new, bank1.obj_created),
+        pt_valid=jnp.where(any_new[:, None], False, bank1.pt_valid),
+        pt_fg=jnp.where(any_new[:, None], 0.0, bank1.pt_fg),
+        pt_bg=jnp.where(any_new[:, None], 0.0, bank1.pt_bg),
+        pt_n=jnp.where(any_new, 0, bank1.pt_n),
+        n_created=bank1.n_created + jnp.sum(has_slot).astype(i32),
+    )
+
+    # ---- densification: candidates precomputed batched, writes sequential -
+    def _select(fused_m, oidx_m):
+        cand = fused_m & (depth > min_depth) & (depth < max_depth)
+        if res_radius > 0:
+            is_obj = (jnp.arange(B) == oidx_m)[:, None]
+            occ_pts = gates.gate & is_obj
+            oui = jnp.clip(gates.uv_i[..., 0], 0, width - 1)
+            ovi = jnp.clip(gates.uv_i[..., 1], 0, height - 1)
+            occ = jnp.zeros((height, width), bool).at[
+                ovi.reshape(-1), oui.reshape(-1)].max(occ_pts.reshape(-1))
+            cand = cand & ~_dilate(occ, res_radius)
+        flat = cand.reshape(-1)
+        idx = jnp.arange(height * width, dtype=jnp.uint32)
+        prio = jnp.where(flat, (idx * jnp.uint32(2654435761)) >> 12,
+                         jnp.uint32(0))
+        prio = jnp.where(flat, prio | jnp.uint32(1), jnp.uint32(0))
+        k = min(max_new, height * width)
+        topv, topi = jax.lax.top_k(prio.astype(f32), k)
+        chosen = topv > 0
+        py = (topi // width).astype(f32)
+        px = (topi % width).astype(f32)
+        uv_und = undistort_points(intr, jnp.stack([px, py], -1))
+        rngv = depth.reshape(-1)[topi]
+        x = (uv_und[:, 0] - intr.cx) / intr.fx
+        y = (uv_und[:, 1] - intr.cy) / intr.fy
+        d = rngv / jnp.sqrt(x * x + y * y + 1.0) if sensor == 1 else rngv
+        pc = jnp.stack([d * x, d * y, d], -1)
+        pw = jnp.einsum("ji,nj->ni", Tcw[:3, :3], pc - Tcw[:3, 3])
+        return pw, chosen
+
+    pw_all, chosen_all = jax.vmap(_select)(fused, oidx_f)  # [M,k,3], [M,k]
+    k = chosen_all.shape[1]
+
+    def _densify_one(m, bk):
+        oidx = jnp.clip(oidx_f[m], 0, B - 1)
+        okm = chosen_all[m] & proc[m]
+        base = bk.pt_n[oidx]
+        pos = jnp.cumsum(okm.astype(i32)) - 1
+        slot = base + pos
+        ok = okm & (slot < P)
+        slot_c = jnp.clip(slot, 0, P - 1)
+        brow = jnp.full((k,), 0, i32) + oidx
+        pt_xyz = bk.pt_xyz.at[brow, slot_c].set(
+            jnp.where(ok[:, None], pw_all[m], bk.pt_xyz[brow, slot_c]))
+        pt_valid = bk.pt_valid.at[brow, slot_c].max(ok)
+        pt_fg = bk.pt_fg.at[brow, slot_c].set(
+            jnp.where(ok, scores[m], bk.pt_fg[brow, slot_c]))
+        pt_bg = bk.pt_bg.at[brow, slot_c].set(
+            jnp.where(ok, 0.0, bk.pt_bg[brow, slot_c]))
+        n_new = jnp.sum(ok).astype(i32)
+        pt_n = bk.pt_n.at[oidx].set(jnp.minimum(base + n_new, P))
+        return dataclasses.replace(bk, pt_xyz=pt_xyz, pt_valid=pt_valid,
+                                   pt_fg=pt_fg, pt_bg=pt_bg, pt_n=pt_n)
+
+    bank2 = jax.lax.fori_loop(0, M, _densify_one, bank1)
+
+    # ---- insert-or-delete (HasEnoughObjectPoints) ------------------------
+    kept = proc & (bank2.pt_n[jnp.clip(oidx_f, 0, B - 1)]
+                   > min_point_count)                              # [M]
+    rel_slot = jnp.any(new_slot & (has_slot & ~kept)[:, None], 0)  # [B]
+    bank3 = dataclasses.replace(
+        bank2,
+        obj_valid=bank2.obj_valid & ~rel_slot,
+        pt_valid=jnp.where(rel_slot[:, None], False, bank2.pt_valid),
+        pt_n=jnp.where(rel_slot, 0, bank2.pt_n),
+    )
+
+    rows = jnp.concatenate([
+        oidx_f.astype(f32)[:, None], proc.astype(f32)[:, None],
+        has_slot.astype(f32)[:, None], kept.astype(f32)[:, None],
+        hu.astype(f32), cen.astype(f32)], axis=1)                  # [M, 13]
+    pack = jnp.concatenate([n_clusters.reshape(1).astype(f32),
+                            rows.reshape(-1)])
+    return KeyframeBatchAB(bank=bank3, pack=pack, fused=fused)
 
 
 @functools.partial(jax.jit, static_argnames=("n_clusters_cap",))
