@@ -292,7 +292,39 @@ def _cell_hash(i: np.ndarray, j: np.ndarray, salt: int) -> np.ndarray:
 
 def render_ring_textured(Tcw: np.ndarray, cam: CameraConfig,
                          wall_radius: float = 4.5, seed: int = 0,
-                         px_noise: float = 0.0, depth_noise: float = 0.0):
+                         px_noise: float = 0.0, depth_noise: float = 0.0,
+                         supersample: int = 2):
+    """Antialiased wrapper over :func:`_render_ring_raw`: raycasts at
+    ``supersample``× resolution and box-averages down. Point-sampling a
+    discontinuous texture makes detected corners snap with sub-pixel phase
+    as the camera moves — a systematic (not zero-mean) tracking bias; the
+    box filter is the pinhole camera's pixel-integration physics."""
+    if supersample <= 1:
+        return _render_ring_raw(Tcw, cam, wall_radius, seed,
+                                px_noise, depth_noise)
+    ss = supersample
+    import dataclasses as _dc
+    fine = _dc.replace(cam, fx=cam.fx * ss, fy=cam.fy * ss,
+                       cx=cam.cx * ss + (ss - 1) / 2.0,
+                       cy=cam.cy * ss + (ss - 1) / 2.0,
+                       width=cam.width * ss, height=cam.height * ss)
+    gray_f, depth_f = _render_ring_raw(Tcw, fine, wall_radius, seed,
+                                       0.0, 0.0)
+    H, W = cam.height, cam.width
+    gray = gray_f.reshape(H, ss, W, ss).mean(axis=(1, 3))
+    depth = depth_f.reshape(H, ss, W, ss).mean(axis=(1, 3))
+    rs = np.random.RandomState(seed)
+    if px_noise > 0:
+        gray = gray + rs.normal(0, px_noise, gray.shape)
+    if depth_noise > 0:
+        depth = depth * (1.0 + rs.normal(0, depth_noise, depth.shape))
+    return (np.clip(gray, 0, 255).astype(np.float32),
+            depth.astype(np.float32))
+
+
+def _render_ring_raw(Tcw: np.ndarray, cam: CameraConfig,
+                     wall_radius: float = 4.5, seed: int = 0,
+                     px_noise: float = 0.0, depth_noise: float = 0.0):
     """Photometric render of the ring-corridor wall: analytic ray-cylinder
     intersection per pixel, with a multi-scale random-cell texture anchored
     to the wall's (arc-length, height) surface coordinates — so image
@@ -311,18 +343,34 @@ def render_ring_textured(Tcw: np.ndarray, cam: CameraConfig,
     x = (u - cam.cx) / cam.fx
     y = (v - cam.cy) / cam.fy
     dirs = np.stack([x, y, np.ones_like(x)], -1) @ Rwc.T      # [H, W, 3]
-    # inside-out ray-cylinder: |c_xz + t d_xz|^2 = R^2, positive root
+    # inside-out ray-cylinder: |c_xz + t d_xz|^2 = R^2, positive root.
+    # Two passes: the nominal hit picks a relief cell, whose hashed radial
+    # offset displaces the wall block in/out (±relief/2) and the ray is
+    # re-intersected — a smooth cylinder is locally planar, which leaves
+    # yaw-vs-lateral-translation near-unobservable and lets tracking drift
+    # along that null direction; blocky 3D relief (and its depth edges) is
+    # what real corridors provide.
     a = dirs[..., 0] ** 2 + dirs[..., 2] ** 2
     b = 2.0 * (c[0] * dirs[..., 0] + c[2] * dirs[..., 2])
-    cc = c[0] ** 2 + c[2] ** 2 - wall_radius ** 2
-    disc = np.maximum(b * b - 4 * a * cc, 0.0)
-    t = (-b + np.sqrt(disc)) / np.maximum(2 * a, 1e-12)       # z-depth
+    cxz2 = c[0] ** 2 + c[2] ** 2
+
+    def _solve(R):
+        disc = np.maximum(b * b - 4 * a * (cxz2 - R ** 2), 0.0)
+        return (-b + np.sqrt(disc)) / np.maximum(2 * a, 1e-12)
+
+    relief, cell_r = 0.4, 0.5
+    t = _solve(np.float64(wall_radius))
+    p = c + t[..., None] * dirs
+    th0 = np.mod(np.arctan2(p[..., 0], p[..., 2]), 2 * np.pi)
+    dR = relief * (_cell_hash(np.floor(th0 * wall_radius / cell_r),
+                              np.floor(p[..., 1] / cell_r), 4) - 0.5)
+    t = _solve(wall_radius + dR)                              # z-depth
     p = c + t[..., None] * dirs
     theta = np.mod(np.arctan2(p[..., 0], p[..., 2]), 2 * np.pi)
     s = theta * wall_radius                                   # arc length
     h = p[..., 1]
     gray = np.zeros((H, W))
-    for wgt, cell, salt in ((0.45, 0.18, 1), (0.35, 0.06, 2), (0.20, 0.45, 3)):
+    for wgt, cell, salt in ((0.45, 0.21, 1), (0.35, 0.09, 2), (0.20, 0.51, 3)):
         gray += wgt * _cell_hash(np.floor(s / cell), np.floor(h / cell), salt)
     gray = 40.0 + 170.0 * gray
     if px_noise > 0 or depth_noise > 0:

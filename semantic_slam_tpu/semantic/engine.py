@@ -61,6 +61,13 @@ class Engine:
         self.timing: Dict[str, List[float]] = {
             k: [] for k in ("don", "detect", "track", "create", "densify",
                             "insert", "tsdf")}
+        # deferred Inventory bookkeeping: the fused per-keyframe program's
+        # pack is only needed on the HOST (observation records), never by
+        # the next keyframe's device work — so packs queue as device arrays
+        # and materialize lazily. Mirrors the reference's decoupling of
+        # Engine::Run from its viewer/inventory consumers.
+        self._pending: List[tuple] = []
+        self._max_pending = 32
 
     # ------------------------------------------------------------------
 
@@ -76,10 +83,11 @@ class Engine:
         the insert-or-delete rule — runs as ONE fused device program
         (objects.keyframe_phase_ab), the faithful batching of the
         reference's ``#pragma omp parallel for`` mask loop
-        (Engine.cpp:170-265). The host does a single packed readback per
-        keyframe and only updates Inventory bookkeeping from it; through a
-        remote transport (~30 ms/readback) this halves the old
-        two-readback + per-mask-dispatch cost.
+        (Engine.cpp:170-265). The host needs the program's packed output
+        only for Inventory bookkeeping — never for the next keyframe's
+        device work — so the pack queues as a device array and materializes
+        lazily (``flush``): keyframes stream through the dispatch pipeline
+        with ZERO blocking readbacks on the hot path.
         """
         e = self.cfg.engine
         depth_j = jnp.asarray(depth, jnp.float32)
@@ -102,7 +110,6 @@ class Engine:
 
         # ---- one fused program, one readback ------------------------------
         t0 = time.perf_counter()
-        M = detections.masks.shape[0]
         batch = O.keyframe_phase_ab(
             self.bank, Tcw_j, depth_j, self.intr,
             jnp.asarray(np.asarray(detections.masks)),
@@ -118,38 +125,52 @@ class Engine:
             erode_radius=self._erode_r,
             width=self.cfg.camera.width, height=self.cfg.camera.height,
             sensor=e.sensor, res_radius=self._res_r, max_new=1024)
-        pack = np.asarray(batch.pack)                    # the ONE readback
         self.bank = batch.bank
-        n_clusters = int(pack[0])
-        rows = pack[1:].reshape(M, 13)
+        self._pending.append((batch.pack, detections, kf_id,
+                              np.asarray(Tcw), depth_j, Tcw_j))
         self.timing["track"].append(time.perf_counter() - t0)
-
-        if n_clusters == 0:
-            return
-        self.inventory.add_keyframe(kf_id, Tcw)
-
-        # ---- host: Inventory bookkeeping + opt-in per-object TSDF ---------
-        t0 = time.perf_counter()
-        for i in range(M):
-            if rows[i, 1] < 0.5:                         # not processed
-                continue
-            oidx = int(rows[i, 0])
-            if self.enable_tsdf:
-                tt = time.perf_counter()
-                self._integrate_tsdf(oidx, jnp.asarray(detections.masks[i]),
-                                     depth_j, Tcw_j)
-                self.timing["tsdf"].append(time.perf_counter() - tt)
-            if rows[i, 3] > 0.5:                         # kept
-                self.inventory.observe(
-                    oidx, kf_id, int(detections.labels[i]),
-                    float(detections.scores[i]),
-                    bbox=detections.boxes[i],
-                    hu=rows[i, 4:11].copy(),
-                    centroid=rows[i, 11:13].copy())
-        self.timing["insert"].append(time.perf_counter() - t0)
+        # per-object TSDF needs the resolved slot ids now; the viewer reads
+        # the inventory; otherwise let keyframes stream and flush lazily
+        if (self.enable_tsdf or self.viewer is not None
+                or len(self._pending) >= self._max_pending):
+            self.flush()
 
         if self.viewer is not None:
             self.viewer.update(self.bank, Tcw)
+
+    def flush(self):
+        """Materialize queued keyframe packs and apply the host-side
+        Inventory bookkeeping (observation records, opt-in per-object TSDF).
+        Called lazily by every host-state reader; the first np.asarray
+        drains the whole dispatch queue in one sync."""
+        pending, self._pending = self._pending, []
+        for pack_d, detections, kf_id, Tcw, depth_j, Tcw_j in pending:
+            t0 = time.perf_counter()
+            pack = np.asarray(pack_d)
+            M = detections.masks.shape[0]
+            n_clusters = int(pack[0])
+            rows = pack[1:].reshape(M, 13)
+            if n_clusters == 0:
+                continue
+            self.inventory.add_keyframe(kf_id, Tcw)
+            for i in range(M):
+                if rows[i, 1] < 0.5:                     # not processed
+                    continue
+                oidx = int(rows[i, 0])
+                if self.enable_tsdf:
+                    tt = time.perf_counter()
+                    self._integrate_tsdf(
+                        oidx, jnp.asarray(detections.masks[i]),
+                        depth_j, Tcw_j)
+                    self.timing["tsdf"].append(time.perf_counter() - tt)
+                if rows[i, 3] > 0.5:                     # kept
+                    self.inventory.observe(
+                        oidx, kf_id, int(detections.labels[i]),
+                        float(detections.scores[i]),
+                        bbox=detections.boxes[i],
+                        hu=rows[i, 4:11].copy(),
+                        centroid=rows[i, 11:13].copy())
+            self.timing["insert"].append(time.perf_counter() - t0)
 
     def track_by_contours(self, mask: jnp.ndarray, label: int, score: float,
                           Tcw: np.ndarray,
@@ -163,6 +184,7 @@ class Engine:
         c2 ∧ (c3 ∨ c4) is made operational. Returns object slot or -1."""
         from semantic_slam_tpu.geometry.camera import fundamental_from_poses
 
+        self.flush()
         hu_new = np.asarray(hu_moments(mask))
         c_new = np.asarray(mask_centroid(mask))
         e = self.cfg.engine
@@ -223,6 +245,7 @@ class Engine:
         """Clear all object state (the lidar driver calls this per frame —
         reference ``label_instance_lidar.cpp:129``)."""
         e = self.cfg.engine
+        self._pending = []              # queued packs refer to dropped state
         self.bank = O.ObjectBank.empty(e.max_objects, e.max_points_per_object)
         self.inventory = Inventory(self.cfg)
         self.tsdf_vols = {}
@@ -262,6 +285,7 @@ class Engine:
         from semantic_slam_tpu.ops.tsdf import (
             tsdf_blocked_to_dense, tsdf_surface_points)
 
+        self.flush()
         os.makedirs(out_dir, exist_ok=True)
         t = self.cfg.tsdf
         for oidx, vol in self.tsdf_vols.items():
@@ -276,6 +300,7 @@ class Engine:
 
     def objects_summary(self) -> List[dict]:
         """Host-side view of the bank for drivers/tests."""
+        self.flush()
         bank = self.bank
         prob = np.asarray(O.point_prob(bank))
         out = []
@@ -294,6 +319,7 @@ class Engine:
         return out
 
     def save_objects(self, out_dir: str):
+        self.flush()
         self.inventory.save_objects(self.bank, self.categories,
                                     self.cfg.engine.prob_thd, out_dir)
 
