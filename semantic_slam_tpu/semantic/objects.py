@@ -410,7 +410,7 @@ class KeyframeBatchAB(NamedTuple):
 
 @functools.partial(jax.jit, static_argnames=(
     "n_clusters_cap", "erode_radius", "width", "height", "sensor",
-    "res_radius", "max_new"))
+    "res_radius", "max_new", "masks_packed"))
 def keyframe_phase_ab(bank: ObjectBank, Tcw: jnp.ndarray, depth: jnp.ndarray,
                       intr: Intrinsics, masks: jnp.ndarray,
                       labels: jnp.ndarray, scores: jnp.ndarray,
@@ -422,8 +422,8 @@ def keyframe_phase_ab(bank: ObjectBank, Tcw: jnp.ndarray, depth: jnp.ndarray,
                       score_margin: jnp.ndarray, overlap_thd: jnp.ndarray,
                       *, n_clusters_cap: int, erode_radius: int,
                       width: int = 640, height: int = 480, sensor: int = 2,
-                      res_radius: int = 0,
-                      max_new: int = 1024) -> KeyframeBatchAB:
+                      res_radius: int = 0, max_new: int = 1024,
+                      masks_packed: bool = False) -> KeyframeBatchAB:
     """The WHOLE per-keyframe engine pass in one compiled program.
 
     Extends ``keyframe_phase_a`` with everything the host loop used to
@@ -451,6 +451,14 @@ def keyframe_phase_ab(bank: ObjectBank, Tcw: jnp.ndarray, depth: jnp.ndarray,
     """
     from semantic_slam_tpu.ops.maskops import dilate as _dilate
 
+    if masks_packed:
+        # masks arrive bit-packed [M, H, ceil(W/8)] u8 (np.packbits,
+        # MSB-first): 8x fewer host->device bytes — the mask upload was the
+        # largest per-keyframe transfer (2.46 MB -> 0.31 MB at VGA).
+        shifts = jnp.arange(7, -1, -1, dtype=jnp.int32)
+        bits = (masks.astype(jnp.int32)[..., None] >> shifts) & 1
+        masks = bits.reshape(masks.shape[0], masks.shape[1],
+                             -1)[:, :, :width].astype(bool)
     M = masks.shape[0]
     B, P = bank.pt_valid.shape
     f32, i32 = jnp.float32, jnp.int32
