@@ -97,7 +97,8 @@ def main():
     print(f"\n{n_runs} keyframes: total {t_total:.3f} s "
           f"({n_runs/t_total:.2f} kf/s), dispatch-side {t_dispatch:.3f} s")
     for k, v in rep.items():
-        print(f"  stage {k:8s}: {v*1e3:8.2f} ms/kf")
+        unit = "ms/flush" if k == "readback" else "ms/kf"
+        print(f"  stage {k:8s}: {v*1e3:8.2f} {unit}")
     print(f"  drain (flush): {(t_total-t_dispatch)/n_runs*1e3:8.2f} ms/kf "
           f"(amortized)", flush=True)
 
