@@ -35,6 +35,7 @@ def save_system(path: str, sys_) -> None:
     data["kf_timestamps"] = np.asarray(sys_.kf_timestamps)
     data["kf_free"] = np.asarray(sys_.kf_free, np.int32)
     data["kf_order"] = np.asarray(sys_.kf_order, np.int32)
+    data["pt_free"] = np.asarray(sys_.pt_free, np.int32)
     traj = sys_.trajectory
     data["traj_t"] = np.asarray([t for t, _ in traj])
     data["traj_T"] = (np.stack([T for _, T in traj])
@@ -60,6 +61,10 @@ def load_system(path: str, sys_) -> None:
         sys_.kf_timestamps = z["kf_timestamps"].copy()
         sys_.kf_free = [int(x) for x in z["kf_free"]]
         sys_.kf_order = [int(x) for x in z["kf_order"]]
+    # derive for pre-recycling checkpoints; restore exactly otherwise
+    sys_.pt_free = ([int(x) for x in z["pt_free"]] if "pt_free" in z.files
+                    else [int(i) for i in
+                          np.nonzero(~sys_.pt_valid[:sys_.n_pt])[0]])
 
 
 def save_object_bank(path: str, bank) -> None:

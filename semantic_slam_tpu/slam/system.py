@@ -107,6 +107,14 @@ class SlamSystem:
         # (slot index no longer implies recency once slots recycle)
         self.kf_free: List[int] = []
         self.kf_order: List[int] = []
+        # map-point slot recycling: culling/Replace invalidates points and
+        # pushes their slots here; allocation drains the bump region first,
+        # then this list. Without it the bump allocator exhausts P on long
+        # exploration (every keyframe densifies fresh territory) and
+        # tracking starves — the reference deletes MapPoints outright, so
+        # its capacity is unbounded; ours is a static-shape budget that must
+        # recycle (SURVEY §7.4 long-context analog).
+        self.pt_free: List[int] = []
 
         # tracking state
         self.Tcw = np.eye(4, dtype=np.float32)
@@ -197,15 +205,31 @@ class SlamSystem:
         match_pt = col(0).astype(np.int32)
         inlier_kp = col(1) > 0.5
 
+        # When extraction yields more keypoints than the map's per-frame cap
+        # (orb.n_features > map.max_kp_per_frame) select a valid-first subset
+        # ONCE and apply it to the match arrays AND the frame columns — the
+        # two must stay index-aligned (match_pt[i] pairs map point with
+        # keypoint row i of the keyframe we may insert below).
+        sel = None
+        if Nf > self.N:
+            order = np.argsort(~(col(6) > 0.5), kind="stable")
+            sel = order[: self.N]
+            match_pt, inlier_kp = match_pt[sel], inlier_kp[sel]
+
         def get_fi() -> FrameInput:
             # materialize full features on host — keyframe/reloc frames only
             uv = np.stack([col(2), col(3)], -1).astype(np.float32)
-            return self._pad_frame(FrameInput(
+            fi = FrameInput(
                 uv=uv, level=col(4).astype(np.int32),
                 desc_u8=np.asarray(desc_u8_d),
                 desc_pm1=np.asarray(desc_pm1_d),
                 valid=col(6) > 0.5, depth=col(5).astype(np.float32),
-                timestamp=timestamp))
+                timestamp=timestamp)
+            if sel is not None:
+                fi = FrameInput(fi.uv[sel], fi.level[sel], fi.desc_u8[sel],
+                                fi.desc_pm1[sel], fi.valid[sel],
+                                fi.depth[sel], fi.timestamp)
+            return self._pad_frame(fi)
 
         pad = self.N - Nf
         if pad > 0:
@@ -354,7 +378,7 @@ class SlamSystem:
         if n == self.N:
             return fi
         if n > self.N:
-            order = np.argsort(~fi.valid)   # keep valid first
+            order = np.argsort(~fi.valid, kind="stable")   # keep valid first
             sel = order[: self.N]
             return FrameInput(fi.uv[sel], fi.level[sel], fi.desc_u8[sel],
                               fi.desc_pm1[sel], fi.valid[sel], fi.depth[sel],
@@ -430,9 +454,9 @@ class SlamSystem:
         self.Tcw = T1
         k1 = self._insert_keyframe(fi)
 
-        idxs = np.nonzero(good)[0][: self.P - self.n_pt]
-        sl = np.arange(self.n_pt, self.n_pt + len(idxs))
-        self.n_pt += len(idxs)
+        idxs = np.nonzero(good)[0]
+        sl = self._alloc_points(len(idxs))
+        idxs = idxs[: len(sl)]
         self.pt_xyz[sl] = pts_w[idxs]
         self.pt_valid[sl] = True
         self.pt_desc[sl] = fi.desc_u8[midx[idxs]]
@@ -625,9 +649,8 @@ class SlamSystem:
         new_sel = (fi.valid & ~claimed & (fi.depth > eng.min_depth)
                    & (fi.depth < cam.bf / cam.fx * cam.th_depth))
         idxs = np.nonzero(new_sel)[0]
-        free = self.P - self.n_pt
-        if len(idxs) > free:
-            idxs = idxs[:free]
+        sl = self._alloc_points(len(idxs))
+        idxs = idxs[: len(sl)]
         if len(idxs) > 0:
             uv = fi.uv[idxs]
             d = fi.depth[idxs]
@@ -636,8 +659,6 @@ class SlamSystem:
             pc = np.stack([x, y, d], -1)
             Twc = self._inv_np(self.Tcw)
             pw = pc @ Twc[:3, :3].T + Twc[:3, 3]
-            sl = np.arange(self.n_pt, self.n_pt + len(idxs))
-            self.n_pt += len(idxs)
             self.pt_xyz[sl] = pw
             self.pt_valid[sl] = True
             self.pt_desc[sl] = fi.desc_u8[idxs]
@@ -744,11 +765,11 @@ class SlamSystem:
                 np.linalg.norm(r1, axis=-1) * np.linalg.norm(r2, axis=-1),
                 1e-12)
             ok &= cosp < 0.99998
-            idx = np.nonzero(ok)[0][: self.P - self.n_pt]
+            idx = np.nonzero(ok)[0]
+            sl = self._alloc_points(len(idx))
+            idx = idx[: len(sl)]
             if len(idx) == 0:
                 continue
-            sl = np.arange(self.n_pt, self.n_pt + len(idx))
-            self.n_pt += len(idx)
             self.pt_xyz[sl] = Xw[idx]
             self.pt_valid[sl] = True
             self.pt_desc[sl] = self.kf_desc[k][pair_k[idx]]
@@ -910,12 +931,37 @@ class SlamSystem:
 
     # --- point culling (ORB-SLAM2 MapPointCulling semantics) -------------
 
+    def _alloc_points(self, want: int) -> np.ndarray:
+        """Allocate up to ``want`` map-point slots: bump region first, then
+        recycled slots (scrubbed of stale observation state)."""
+        take = min(want, self.P - self.n_pt)
+        sl = np.arange(self.n_pt, self.n_pt + take)
+        self.n_pt += take
+        if take < want and self.pt_free:
+            extra = [self.pt_free.pop() for _ in
+                     range(min(want - take, len(self.pt_free)))]
+            ex = np.asarray(extra, np.int64)
+            self.pt_obs_kf[ex] = -1
+            self.pt_obs_kp[ex] = -1
+            self.pt_obs_n[ex] = 0
+            self.pt_found[ex] = 0
+            self.pt_visible[ex] = 0
+            sl = np.concatenate([sl, ex])
+        return sl
+
+    def _free_points(self, mask_or_idx: np.ndarray) -> None:
+        """Invalidate points and recycle their slots."""
+        idx = (np.nonzero(mask_or_idx)[0] if mask_or_idx.dtype == bool
+               else np.asarray(mask_or_idx))
+        self.pt_valid[idx] = False
+        self.pt_free.extend(int(i) for i in idx)
+
     def _cull_points(self):
         k_now = self.n_kf - 1
         age = k_now - self.pt_first_kf
         # a point must gather >= 2 keyframe observations within 3 keyframes
         weak = self.pt_valid & (age >= 3) & (self.pt_obs_n < 2)
-        self.pt_valid[weak] = False
+        self._free_points(weak)
         self._touch_map()
 
     # --- map-point fusion (LocalMapping::SearchInNeighbors semantics) ----
@@ -949,7 +995,7 @@ class SlamSystem:
                 self._add_observation(winner, g, kp)
         self.pt_found[winner] += self.pt_found[loser]
         self.pt_visible[winner] += self.pt_visible[loser]
-        self.pt_valid[loser] = False
+        self._free_points(np.asarray([loser]))
 
     def _fuse_into(self, src_pts: np.ndarray, j: int,
                    radius: float = 3.0, max_dist: int = 50) -> int:
@@ -1089,6 +1135,7 @@ class SlamSystem:
         """Erase keyframe j: drop its observations, repair the spanning
         tree, clear covisibility, free the slot for reuse."""
         hit = (self.pt_obs_kf == j).any(axis=1)
+        orphans = []
         for p in np.nonzero(hit)[0]:
             n = self.pt_obs_n[p]
             keep = self.pt_obs_kf[p, :n] != j
@@ -1099,6 +1146,10 @@ class SlamSystem:
             self.pt_obs_kf[p, :len(kfs)] = kfs
             self.pt_obs_kp[p, :len(kps)] = kps
             self.pt_obs_n[p] = len(kfs)
+            if len(kfs) == 0 and self.pt_valid[p]:
+                orphans.append(p)     # MapPoint::SetBadFlag analog
+        if orphans:
+            self._free_points(np.asarray(orphans))
         # spanning-tree repair: children inherit j's parent
         children = np.nonzero(self.kf_parent == j)[0]
         self.kf_parent[children] = self.kf_parent[j]

@@ -34,6 +34,7 @@ def test_system_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(sys2.kf_pose, sys_.kf_pose)
     np.testing.assert_array_equal(sys2.pt_xyz, sys_.pt_xyz)
     assert sys2.n_kf == sys_.n_kf and sys2.n_pt == sys_.n_pt
+    assert sys2.pt_free == sys_.pt_free
     assert sys2.state == sys_.state
     assert len(sys2.trajectory) == len(sys_.trajectory)
 

@@ -168,3 +168,35 @@ def test_shutdown_runs_final_gba():
     sys_.shutdown()
     err = np.linalg.norm(sys_.kf_pose[k][:3, 3] - clean[:3, 3])
     assert err < 0.02, err
+
+
+def test_point_slot_recycling():
+    """Map-point slots freed by culling/Replace are reused (scrubbed) once
+    the bump region is exhausted. The reference deletes MapPoints outright
+    (unbounded heap); the static-shape bank must recycle or long
+    exploration starves point creation (SURVEY §7.4)."""
+    sys_ = make_system()
+    P = sys_.P
+    sl = sys_._alloc_points(P + 100)          # over-ask drains the bump region
+    assert len(sl) == P and sys_.n_pt == P
+    sys_.pt_valid[sl] = True
+    sys_.pt_obs_kf[:, 0] = 3                  # stale observation state
+    sys_.pt_obs_n[:] = 2
+
+    assert len(sys_._alloc_points(4)) == 0    # full, nothing free
+    sys_._free_points(np.asarray([5, 7, 9]))
+    assert not sys_.pt_valid[[5, 7, 9]].any()
+
+    sl2 = sys_._alloc_points(10)              # only the 3 freed come back
+    assert sorted(int(i) for i in sl2) == [5, 7, 9]
+    # recycled slots are scrubbed of the previous tenant's observations
+    assert (sys_.pt_obs_kf[sl2] == -1).all()
+    assert (sys_.pt_obs_kp[sl2] == -1).all()
+    assert (sys_.pt_obs_n[sl2] == 0).all()
+    assert (sys_.pt_found[sl2] == 0).all()
+
+    # boolean-mask variant
+    m = np.zeros(P, bool)
+    m[42] = True
+    sys_._free_points(m)
+    assert sys_._alloc_points(1)[0] == 42
