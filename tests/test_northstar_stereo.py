@@ -139,3 +139,80 @@ def test_northstar_stereo_ring_loop_closure():
     assert e_fin[kf_cur] < e_pre[kf_cur] / 5.0, (e_pre[kf_cur], e_fin[kf_cur])
     ate_fin = _ate(e_fin, sorted(set(e_pre) & set(e_fin)))
     assert ate_fin <= ate_post * 1.05, (ate_post, ate_fin)
+
+
+def test_stereo_pixels_first_tracking():
+    """Pixels-first stereo: RECTIFIED RENDERED PAIRS drive the full stereo
+    front end — ORB extraction on both images, row-constrained MXU stereo
+    matching (ops/stereo.stereo_depth), per-keypoint depth, tracking.
+    Mirrors examples/stereo_kitti.py's track_stereo flow (reference
+    examples/stereo_kitti.cpp:75 feeds TrackStereo with raw images).
+
+    The right view is an independent render at a pure x-baseline offset
+    (rectified geometry), so descriptors must genuinely re-detect and match
+    across the 10 cm viewpoint change; depth must agree with the renderer's
+    z-buffer; and 150 frames (0.35 laps, ~8 m path) must track with bounded
+    drift and no LOST."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from semantic_slam_tpu.config import SlamConfig, MapConfig
+    from semantic_slam_tpu.io import synth
+    from semantic_slam_tpu.ops.orb import extract_orb
+    from semantic_slam_tpu.ops.stereo import stereo_depth
+    from semantic_slam_tpu.slam.system import SlamSystem, FrameInput
+
+    N, BASELINE = 150, 0.1
+    base = SlamConfig()
+    cam0 = dataclasses.replace(base.camera, fx=267.7, fy=269.6, cx=160.05,
+                               cy=123.8, width=320, height=240,
+                               bf=267.7 * BASELINE)
+    cfg = dataclasses.replace(
+        base, camera=cam0,
+        map=MapConfig(max_keyframes=128, max_points=16384,
+                      max_kp_per_frame=512, max_obs_per_point=8),
+        orb=dataclasses.replace(base.orb, n_features=512))
+    cam = cfg.camera
+    traj = synth.ring_trajectory(N, radius=3.5, laps=0.35)
+    gt_rel = np.stack([traj[i] @ np.linalg.inv(traj[0]) for i in range(N)])
+    T_rl = np.eye(4)
+    T_rl[0, 3] = -BASELINE   # right camera at +b along the left x axis
+
+    sys_ = SlamSystem(cfg)
+    dep_errs, n_matched, lost = [], [], 0
+    for i in range(N):
+        gl, dl = synth.render_ring_textured(traj[i], cam, seed=1000 + i,
+                                            px_noise=2.0)
+        gr, _ = synth.render_ring_textured(T_rl @ traj[i], cam,
+                                           seed=5000 + i, px_noise=2.0)
+        fl = extract_orb(jnp.asarray(gl, jnp.float32), cfg.orb)
+        fr = extract_orb(jnp.asarray(gr, jnp.float32), cfg.orb)
+        depth, _ = stereo_depth(
+            fl.uv, fl.desc_pm1, fl.valid, fr.uv, fr.desc_pm1, fr.valid,
+            fl.level, fr.level, jnp.float32(cam.bf))
+        depth = np.asarray(depth)
+        uv = np.asarray(fl.uv)
+        xi = np.clip(uv[:, 0].astype(int), 0, cam.width - 1)
+        yi = np.clip(uv[:, 1].astype(int), 0, cam.height - 1)
+        gt_d = dl[yi, xi]
+        m = (depth > 0) & (gt_d > 0)
+        n_matched.append(int(m.sum()))
+        if m.sum() > 10:
+            dep_errs.append(float(np.median(np.abs(depth[m] - gt_d[m]))))
+        sys_.track_features(FrameInput(
+            uv=uv, level=np.asarray(fl.level),
+            desc_u8=np.asarray(fl.desc_u8),
+            desc_pm1=np.asarray(fl.desc_pm1), valid=np.asarray(fl.valid),
+            depth=depth, timestamp=float(i)))
+        lost += sys_.state == "LOST"
+
+    assert lost == 0, f"stereo tracking lost on {lost} frames"
+    # the stereo matcher really works across the baseline view change
+    assert np.median(n_matched) >= 100, np.median(n_matched)
+    # disparity depth agrees with the renderer's z-buffer (~1 m range)
+    assert np.median(dep_errs) < 0.05, np.median(dep_errs)
+    # bounded drift over the 8 m path (no loop closure in this segment)
+    c_est = -sys_.Tcw[:3, :3].T @ sys_.Tcw[:3, 3]
+    c_gt = -gt_rel[-1][:3, :3].T @ gt_rel[-1][:3, 3]
+    assert np.linalg.norm(c_est - c_gt) < 0.5
