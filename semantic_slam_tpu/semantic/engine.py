@@ -143,8 +143,8 @@ class Engine:
     def flush(self):
         """Materialize queued keyframe packs and apply the host-side
         Inventory bookkeeping (observation records, opt-in per-object TSDF).
-        Called lazily by every host-state reader; the first np.asarray
-        drains the whole dispatch queue in one sync."""
+        Called lazily by every host-state reader; one batched device_get
+        drains the whole dispatch queue in a single sync."""
         pending, self._pending = self._pending, []
         if not pending:
             return
