@@ -308,7 +308,18 @@ class LoopCloser:
         S_meas.append(np.linalg.inv(S_rel))
         w.append(20.0)
 
+        # pad the edge list to a 256 bucket: optimize_pose_graph is jitted
+        # on [E] shapes, so without bucketing EVERY closure with a new edge
+        # count pays a fresh XLA compile (and a long test session compiles
+        # dozens of variants — one of which reproducibly segfaulted LLVM in
+        # full-suite runs). edge_w == 0 rows are the designed padding: they
+        # contribute zero to H and b.
         E = len(edges_i)
+        pad = max(256, -(-E // 256) * 256) - E
+        edges_i += [0] * pad
+        edges_j += [0] * pad
+        S_meas += [np.eye(4, dtype=np.float32)] * pad
+        w += [0.0] * pad
         fixed = np.zeros(cap, bool)
         fixed[kf_loop] = True
         # CorrectLoop parity: the current keyframe starts corrected

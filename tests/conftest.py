@@ -28,6 +28,32 @@ REFERENCE_DIR = "/root/reference"
 FIXTURE_DIR = os.path.join(REFERENCE_DIR, "result", "rgbd")
 
 
+_TESTS_SINCE_CLEAR = {"n": 0}
+
+
+@pytest.fixture(autouse=True)
+def _bounded_compile_state():
+    """Periodically drop jit caches so in-process XLA-CPU compile state
+    stays bounded across the whole suite.
+
+    The suite compiles hundreds of programs in one process; past ~95 tests
+    the NEXT heavy compile reproducibly died inside LLVM
+    (backend_compile_and_load: SIGSEGV, and after shuffling compiles
+    SIGABRT — position-deterministic, fine in isolation, so cumulative
+    compiler state, not any single program). clear_caches() frees the
+    executables (measured: /proc/self/maps 1127 -> 531 after 200 compiles);
+    clearing every 30 tests keeps the process far from the cliff at the
+    cost of recompiling shared programs a handful of times per run."""
+    yield
+    _TESTS_SINCE_CLEAR["n"] += 1
+    if _TESTS_SINCE_CLEAR["n"] >= 30:
+        _TESTS_SINCE_CLEAR["n"] = 0
+        import gc
+
+        jax.clear_caches()
+        gc.collect()
+
+
 @pytest.fixture(scope="session")
 def fixture_dir():
     if not os.path.isdir(FIXTURE_DIR):
