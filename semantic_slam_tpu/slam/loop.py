@@ -314,10 +314,17 @@ class LoopCloser:
         # dozens of variants — one of which reproducibly segfaulted LLVM in
         # full-suite runs). edge_w == 0 rows are the designed padding: they
         # contribute zero to H and b.
+        # Padding edges are (kf_loop, kf_loop) self-edges with identity
+        # measurement: their residual/Jacobians go through sim3_log at exact
+        # identity, which is only finite because so3_log sanitizes its input
+        # before AD (a NaN Jacobian times w=0 would still be NaN and poison
+        # H). Anchoring the pad on the FIXED node means that even if a future
+        # geometry change broke AD-safety at identity, the poisoned rows are
+        # excluded from the solve (free7 masks fixed nodes).
         E = len(edges_i)
         pad = max(256, -(-E // 256) * 256) - E
-        edges_i += [0] * pad
-        edges_j += [0] * pad
+        edges_i += [kf_loop] * pad
+        edges_j += [kf_loop] * pad
         S_meas += [np.eye(4, dtype=np.float32)] * pad
         w += [0.0] * pad
         fixed = np.zeros(cap, bool)

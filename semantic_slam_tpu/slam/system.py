@@ -706,7 +706,12 @@ class SlamSystem:
         sig2_k = 1.2 ** (2.0 * self.kf_kp_level[k])
         desc_k = unpack_to_pm1(jnp.asarray(self.kf_desc[k]))
         for j in partners:
-            if not unclaimed_k.any() or self.n_pt >= self.P:
+            # exhausted == bump region full AND no recycled slots: with only
+            # the bump check, triangulation (monocular's sole point source
+            # after init) would stop forever once n_pt hits P even though
+            # _free_points keeps returning slots to pt_free.
+            if not unclaimed_k.any() or (self.n_pt >= self.P
+                                         and not self.pt_free):
                 break
             Tj = self.kf_pose[j]
             # require real baseline relative to scene depth (upstream skips
@@ -878,53 +883,84 @@ class SlamSystem:
         self.Tcw = self.kf_pose[k_new].copy()
         self._touch_map()
 
-    def global_bundle_adjust(self, iters: int = 10, max_points: int = 4096,
+    def global_bundle_adjust(self, iters: int = 10,
+                             max_points: Optional[int] = 4096,
                              max_obs: int = 8):
         """Full-map BA (the reference's RunGlobalBundleAdjustment after loop
-        closure, System.h:208-210). All keyframes free except the first;
-        points subsampled to the obs-richest `max_points` (static capacity
-        for the dense Schur build). Also used for the monocular two-view
-        seed refinement (n_kf == 2)."""
+        closure, System.h:208-210). All keyframes free except the first.
+
+        ``max_points=None`` runs the point-sharded SPMD program
+        (``parallel.ba_shard.bundle_adjust_sharded``) over ALL valid points —
+        the reference's g2o GBA optimizes every map point (12,498 at fixture
+        scale), so the loop-closure and shutdown refinements use this path.
+        With an integer ``max_points`` the single-device dense-Schur build
+        subsamples to the obs-richest points (used for the cheap monocular
+        two-view seed refinement, n_kf == 2). Capacities are bucketed so
+        repeated closures reuse the compiled program."""
         if self.n_kf < 2:
             return
         K = self.n_kf
         pt_sel = np.nonzero(self.pt_valid & (self.pt_obs_n >= 2))[0]
-        if len(pt_sel) > max_points:
-            pt_sel = pt_sel[np.argsort(-self.pt_obs_n[pt_sel])[:max_points]]
-        Pl = max_points
-        obs_kf = np.full((Pl, max_obs), -1, np.int32)
-        obs_uv = np.zeros((Pl, max_obs, 2), np.float32)
-        obs_w = np.zeros((Pl, max_obs), np.float32)
-        for i, p in enumerate(pt_sel):
-            o_out = 0
-            for o in range(self.pt_obs_n[p]):
-                g = self.pt_obs_kf[p, o]
-                if g < 0 or g >= K or o_out >= max_obs:
-                    continue
-                kp = self.pt_obs_kp[p, o]
-                obs_kf[i, o_out] = g
-                obs_uv[i, o_out] = self.kf_kp_uv[g, kp]
-                lvl = self.kf_kp_level[g, kp]
-                obs_w[i, o_out] = 1.0 / (1.2 ** (2.0 * lvl))
-                o_out += 1
-        pose = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))
+        sharded = max_points is None
+        if sharded:
+            ndev = len(jax.devices())
+            gran = 1024 * ndev
+            Pl = max(gran, -(-len(pt_sel) // gran) * gran)
+            Kb = -(-K // 64) * 64
+        else:
+            if len(pt_sel) > max_points:
+                pt_sel = pt_sel[
+                    np.argsort(-self.pt_obs_n[pt_sel])[:max_points]]
+            Pl, Kb = max_points, K
+        # vectorized observation assembly (the per-point Python loop cost
+        # ~100k iterations at fixture scale): compact valid observations to
+        # the front of each row, zero-weight the rest.
+        O = self.pt_obs_kf.shape[1]
+        g = self.pt_obs_kf[pt_sel]                           # [p, O]
+        kp = self.pt_obs_kp[pt_sel]
+        ok = ((np.arange(O)[None, :] < self.pt_obs_n[pt_sel][:, None])
+              & (g >= 0) & (g < K))
+        order = np.argsort(~ok, axis=1, kind="stable")       # valid first
+        g = np.take_along_axis(g, order, 1)[:, :max_obs]
+        kp = np.take_along_axis(kp, order, 1)[:, :max_obs]
+        ok = np.take_along_axis(ok, order, 1)[:, :max_obs]
+        gc, kpc = np.clip(g, 0, None), np.clip(kp, 0, None)
+        Om = g.shape[1]
+        obs_kf = np.full((Pl, Om), -1, np.int32)
+        obs_uv = np.zeros((Pl, Om, 2), np.float32)
+        obs_w = np.zeros((Pl, Om), np.float32)
+        p = len(pt_sel)
+        obs_kf[:p] = np.where(ok, g, -1)
+        obs_uv[:p] = self.kf_kp_uv[gc, kpc]
+        obs_w[:p] = np.where(
+            ok, 1.0 / (1.2 ** (2.0 * self.kf_kp_level[gc, kpc])), 0.0)
+        pose = np.tile(np.eye(4, dtype=np.float32), (Kb, 1, 1))
         pose[:K] = self.kf_pose[:K]
-        cam_fixed = ~self.kf_valid[:K]         # culled slots stay put
+        cam_fixed = np.ones(Kb, bool)          # bucket padding stays put
+        cam_fixed[:K] = ~self.kf_valid[:K]     # culled slots stay put
         cam_fixed[self.kf_order[0] if self.kf_order else 0] = True
         pt_valid_l = np.zeros(Pl, bool)
-        pt_valid_l[: len(pt_sel)] = True
+        pt_valid_l[:p] = True
         xyz = np.zeros((Pl, 3), np.float32)
-        xyz[: len(pt_sel)] = self.pt_xyz[pt_sel]
+        xyz[:p] = self.pt_xyz[pt_sel]
         prob = BAProblem(
             kf_pose=jnp.asarray(pose), pt_xyz=jnp.asarray(xyz),
             obs_kf=jnp.asarray(obs_kf), obs_uv=jnp.asarray(obs_uv),
             obs_w=jnp.asarray(obs_w), cam_fixed=jnp.asarray(cam_fixed),
             pt_valid=jnp.asarray(pt_valid_l))
-        res = bundle_adjust(self.intr, prob, iters=iters, trim_rounds=2)
+        if sharded:
+            from semantic_slam_tpu.parallel.ba_shard import (
+                bundle_adjust_sharded)
+            from semantic_slam_tpu.parallel.mesh import make_mesh
+            mesh = make_mesh(ndev, model_parallel=1)
+            res = bundle_adjust_sharded(mesh, self.intr, prob, iters=iters,
+                                        trim_rounds=2)
+        else:
+            res = bundle_adjust(self.intr, prob, iters=iters, trim_rounds=2)
         new_pose = np.asarray(res.kf_pose)[:K]
         upd = self.kf_valid[:K]
         self.kf_pose[:K][upd] = new_pose[upd]
-        self.pt_xyz[pt_sel] = np.asarray(res.pt_xyz)[: len(pt_sel)]
+        self.pt_xyz[pt_sel] = np.asarray(res.pt_xyz)[:p]
         if self.kf_order:
             self.Tcw = self.kf_pose[self.kf_order[-1]].copy()
         self._touch_map()
@@ -950,9 +986,16 @@ class SlamSystem:
         return sl
 
     def _free_points(self, mask_or_idx: np.ndarray) -> None:
-        """Invalidate points and recycle their slots."""
-        idx = (np.nonzero(mask_or_idx)[0] if mask_or_idx.dtype == bool
-               else np.asarray(mask_or_idx))
+        """Invalidate points and recycle their slots.
+
+        Hardened against caller mistakes: an empty float array (np.asarray([])
+        is float64) indexes safely after the int cast, and already-freed slots
+        are filtered out so one slot can never sit on pt_free twice (double
+        allocation would silently alias two map points)."""
+        arr = np.asarray(mask_or_idx)
+        idx = (np.nonzero(arr)[0] if arr.dtype == bool
+               else arr.astype(np.int64))
+        idx = idx[self.pt_valid[idx]]
         self.pt_valid[idx] = False
         self.pt_free.extend(int(i) for i in idx)
 
