@@ -26,22 +26,26 @@ def test_mesh_creation():
 
 
 def test_sharded_train_step_dp_tp():
-    mesh = make_mesh(8, model_parallel=2)
-    model = MaskRCNN(pre_nms=32, post_nms=8, roi_samples=8)
-    img_hw = (64, 64)
-    batch = make_synthetic_batch(4, *img_hw)
-    params = model.init(jax.random.PRNGKey(0),
-                        jnp.zeros(img_hw + (3,), jnp.float32))
-    tx = optax.sgd(1e-3)
-    opt_state = tx.init(params)
-    place, shard_batch, step = make_sharded_train_step(model, mesh, tx)
-    with mesh:
-        params, opt_state = place(params, opt_state)
-        batch = shard_batch(batch)
-        params, opt_state, loss = step(params, opt_state, batch)
-        params, opt_state, loss2 = step(params, opt_state, batch)
-    assert np.isfinite(float(loss)) and np.isfinite(float(loss2))
-    assert float(loss2) <= float(loss) * 1.5  # sgd on same batch shouldn't blow up
+    """Runs the dp x tp train step in a FRESH interpreter.
+
+    This is the suite's heaviest XLA-CPU compile; in-process it reproducibly
+    aborted inside LLVM at ~68% of a full-suite run (cumulative compile
+    state — the identical program passes standalone and in the multichip
+    dryrun). A subprocess gives it a clean compiler every time; the child
+    (_sharded_train_child.py) asserts finiteness + non-divergence and prints
+    the losses for this parent to re-check."""
+    import subprocess
+    import sys
+
+    jax.clear_caches()          # shed our own state before the heavy child
+    child = os.path.join(os.path.dirname(__file__), "_sharded_train_child.py")
+    p = subprocess.run([sys.executable, child], capture_output=True,
+                       text=True, timeout=600)
+    assert p.returncode == 0, f"child failed:\n{p.stdout}\n{p.stderr[-2000:]}"
+    line = [l for l in p.stdout.splitlines() if l.startswith("LOSSES")][0]
+    loss, loss2 = map(float, line.split()[1:])
+    assert np.isfinite(loss) and np.isfinite(loss2)
+    assert loss2 <= loss * 1.5  # sgd on same batch shouldn't blow up
 
 
 def test_tsdf_sharded_matches_single_device():
