@@ -52,6 +52,8 @@ class TwoViewInit(NamedTuple):
     good: jnp.ndarray         # [M] bool: passes cheirality/parallax/reproj
     n_good: jnp.ndarray       # [] int32 good count of the winning chamber
     n_good_second: jnp.ndarray  # [] int32 runner-up chamber good count
+    n_inliers: jnp.ndarray    # [] int32 winner's model-inlier support count
+    parallax_deg: jnp.ndarray  # [] ~50th-largest good-point parallax (deg)
     median_depth: jnp.ndarray  # [] median z of good points (scale anchor)
 
 
@@ -203,11 +205,69 @@ def two_view_init(intr: Intrinsics, uv1: jnp.ndarray, uv2: jnp.ndarray,
     Rb = Ue @ W.T @ Vte
     tu = Ue[:, 2]
     tu = tu / jnp.maximum(jnp.linalg.norm(tu), 1e-12)
-    Rs = jnp.stack([Ra, Ra, Rb, Rb])                 # [4, 3, 3]
-    ts = jnp.stack([tu, -tu, tu, -tu])               # [4, 3]
-    P2 = jnp.concatenate([Rs, ts[:, :, None]], -1)   # [4, 3, 4]
+    Rs_e = jnp.stack([Ra, Ra, Rb, Rb])               # [4, 3, 3]
+    ts_e = jnp.stack([tu, -tu, tu, -tu])             # [4, 3]
 
-    pts = _triangulate_batch(P2, n1, n2)             # [4, M, 3] in cam 1
+    # ---- decompose best RANSAC H: eight Faugeras hypotheses ---------------
+    # (ORB-SLAM2 Initializer::ReconstructH). Near-planar scenes (one wall
+    # filling the view) make E degenerate — ANY e gives x2ᵀ[e]×Hx1 ≈ 0 on
+    # coplanar points, so the 8-point E is a noise-shaped compromise even in
+    # f64 (measured: 7° rotation error from 132 sub-pixel-true matches).
+    # Decomposing the best *minimal* RANSAC homography (which locks onto the
+    # dominant plane rather than averaging over relief) recovers the true
+    # motion; triangulation-goodness then selects among all candidates.
+    Hn_best = Hn[jnp.argmax(score_h_all)]            # normalized-coords H
+    Uh, Sh, Vth = jnp.linalg.svd(Hn_best)
+    sgn = jnp.linalg.det(Uh) * jnp.linalg.det(Vth)
+    hd1, hd2, hd3 = Sh[0], Sh[1], Sh[2]
+    den13 = jnp.maximum(hd1 ** 2 - hd3 ** 2, 1e-12)
+    aux1 = jnp.sqrt(jnp.clip(hd1 ** 2 - hd2 ** 2, 0.0) / den13)
+    aux3 = jnp.sqrt(jnp.clip(hd2 ** 2 - hd3 ** 2, 0.0) / den13)
+    e1s = jnp.array([1.0, 1.0, -1.0, -1.0]) * aux1
+    e3s = jnp.array([1.0, -1.0, 1.0, -1.0]) * aux3
+    disc = jnp.sqrt(jnp.clip((hd1 ** 2 - hd2 ** 2)
+                             * (hd2 ** 2 - hd3 ** 2), 0.0))
+    # d' = +d2 chambers
+    st = disc / jnp.maximum((hd1 + hd3) * hd2, 1e-12)
+    ct = (hd2 ** 2 + hd1 * hd3) / jnp.maximum((hd1 + hd3) * hd2, 1e-12)
+    st4 = jnp.array([1.0, -1.0, -1.0, 1.0]) * st
+    zero4 = jnp.zeros(4)
+    one4 = jnp.ones(4)
+    Rp_a = jnp.stack([
+        jnp.stack([ct * one4, zero4, -st4], -1),
+        jnp.stack([zero4, one4, zero4], -1),
+        jnp.stack([st4, zero4, ct * one4], -1)], 1)  # [4, 3, 3]
+    tp_a = (hd1 - hd3) * jnp.stack([e1s, zero4, -e3s], -1)   # [4, 3]
+    # d' = -d2 chambers
+    sp = disc / jnp.maximum((hd1 - hd3) * hd2, 1e-12)
+    cp = (hd1 * hd3 - hd2 ** 2) / jnp.maximum((hd1 - hd3) * hd2, 1e-12)
+    sp4 = jnp.array([1.0, -1.0, -1.0, 1.0]) * sp
+    Rp_b = jnp.stack([
+        jnp.stack([cp * one4, zero4, sp4], -1),
+        jnp.stack([zero4, -one4, zero4], -1),
+        jnp.stack([sp4, zero4, -cp * one4], -1)], 1)
+    tp_b = (hd1 + hd3) * jnp.stack([e1s, zero4, e3s], -1)
+    Rp = jnp.concatenate([Rp_a, Rp_b])               # [8, 3, 3]
+    tp = jnp.concatenate([tp_a, tp_b])               # [8, 3]
+    Rs_h = sgn * jnp.einsum("ij,cjk,kl->cil", Uh, Rp, Vth)
+    ts_h = jnp.einsum("ij,cj->ci", Uh, tp)
+    th_norm = jnp.linalg.norm(ts_h, axis=-1, keepdims=True)
+    h_ok = th_norm[:, 0] > 1e-9                      # degenerate => exclude
+    ts_h = ts_h / jnp.maximum(th_norm, 1e-12)
+
+    # ---- triangulate + chamber-check all 12 candidates together ----------
+    Rs = jnp.concatenate([Rs_e, Rs_h])               # [12, 3, 3]
+    ts = jnp.concatenate([ts_e, ts_h])               # [12, 3]
+    # candidate support = ALL matches (not the model's epipolar/transfer
+    # inliers): on relief-planar scenes the minimal-H transfer gate keeps
+    # only points near the dominant plane, undercounting true support that
+    # the stricter triangulate-and-reproject check below would accept.
+    cand_inl = jnp.concatenate([
+        jnp.broadcast_to(valid, (4, M)),
+        jnp.broadcast_to(valid, (8, M)) & h_ok[:, None]])
+    P2 = jnp.concatenate([Rs, ts[:, :, None]], -1)   # [12, 3, 4]
+
+    pts = _triangulate_batch(P2, n1, n2)             # [12, M, 3] in cam 1
     z1 = pts[..., 2]
     pc2 = jnp.einsum("cij,cmj->cmi", Rs, pts) + ts[:, None, :]
     z2 = pc2[..., 2]
@@ -226,36 +286,62 @@ def two_view_init(intr: Intrinsics, uv1: jnp.ndarray, uv2: jnp.ndarray,
     ray2 = d2v / jnp.maximum(jnp.linalg.norm(d2v, axis=-1, keepdims=True),
                              1e-12)
     cos_par = jnp.sum(ray1 * ray2, -1)
-    good_c = (inliers[None, :] & (z1 > 0) & (z2 > 0)
+    good_c = (cand_inl & (z1 > 0) & (z2 > 0)
               & (err1 < 4.0 * sig2) & (err2 < 4.0 * sig2)
               & (cos_par < 0.99998))                 # > ~0.36 deg parallax
     n_good_c = jnp.sum(good_c, axis=1)
-    order = jnp.argsort(-n_good_c)
-    winner = order[0]
+    # winner across both families by triangulation support; the dominance
+    # check (n_good_second) stays WITHIN the winning family — the same
+    # motion often appears in both families, and cross-family "runners-up"
+    # would veto perfectly unambiguous reconstructions.
+    ng_e, ng_h = n_good_c[:4], n_good_c[4:]
+    e_sorted = jnp.sort(ng_e)[::-1]
+    h_sorted = jnp.sort(ng_h)[::-1]
+    win_is_h = h_sorted[0] > e_sorted[0]
+    winner = jnp.where(win_is_h, 4 + jnp.argmax(ng_h), jnp.argmax(ng_e))
+    n_good = jnp.where(win_is_h, h_sorted[0], e_sorted[0])
+    n_good_second = jnp.where(win_is_h, h_sorted[1], e_sorted[1])
+    # upstream minParallax gate: the ~50th-largest parallax angle among the
+    # winner's good points (CheckRT sorts parallaxes and indexes min(50, n));
+    # a unit-||t|| reconstruction of a pure rotation triangulates all its
+    # points at enormous depth => tiny parallax => rejected downstream.
+    cosp_w = jnp.where(good_c[winner], cos_par[winner], 1.0)
+    cos_sorted = jnp.sort(cosp_w)                    # ascending = best first
+    idx50 = jnp.minimum(jnp.maximum(n_good - 1, 0), 50)
+    parallax_deg = jnp.degrees(
+        jnp.arccos(jnp.clip(cos_sorted[idx50], -1.0, 1.0)))
     return TwoViewInit(
         score_f=score_f, score_h=score_h,
         R=Rs[winner], t=ts[winner], pts1=pts[winner], good=good_c[winner],
-        n_good=n_good_c[winner], n_good_second=n_good_c[order[1]],
+        n_good=n_good, n_good_second=n_good_second,
+        n_inliers=jnp.sum(cand_inl[winner]),
+        parallax_deg=parallax_deg,
         median_depth=jnp.nanmedian(jnp.where(good_c[winner],
                                              pts[winner, :, 2], jnp.nan)))
 
 
-def accept_init(res: TwoViewInit, n_matches: int, *, min_good: int = 50,
-                min_ratio: float = 0.9, rh_max: float = 0.40,
+def accept_init(res: TwoViewInit, n_matches: int, *, min_good: int = 80,
+                min_ratio: float = 0.6,
                 second_max_frac: float = 0.75) -> bool:
-    """Host-side acceptance rule (upstream Initializer semantics: RH model
-    selection, dominant chamber, enough well-parallaxed points)."""
+    """Host-side acceptance rule (upstream Initializer::ReconstructF/H
+    semantics: dominant chamber, enough well-parallaxed points explaining
+    most of the matches).
+
+    Deviation from upstream: no RH = SH/(SH+SF) model gate — the family is
+    already chosen inside ``two_view_init`` by triangulation support, which
+    measured stronger than RH on near-planar scenes (RH=0.35 picked the
+    degenerate F path while H reconstructed 132/143 matches). min_good=80
+    (upstream uses 50) blocks the weak borderline seeds that round-3 testing
+    showed starve monocular tracking within ~20 keyframes."""
     import numpy as np
 
     sf = float(res.score_f)
     sh = float(res.score_h)
-    if sf <= 0 or not np.isfinite(sf):
-        return False
-    rh = sh / max(sh + sf, 1e-9)
-    if rh > rh_max:          # planar / rotation-dominant: defer
+    if (sf <= 0 or not np.isfinite(sf)) and (sh <= 0 or not np.isfinite(sh)):
         return False
     ng = int(res.n_good)
     n2 = int(res.n_good_second)
-    inl = max(int(np.sum(np.asarray(res.good))), 1)
     return (ng >= min_good and n2 < second_max_frac * ng
-            and ng >= min_ratio * inl and np.isfinite(float(res.median_depth)))
+            and ng >= min_ratio * max(n_matches, 1)
+            and float(res.parallax_deg) > 1.0               # minParallax
+            and np.isfinite(float(res.median_depth)))

@@ -75,15 +75,25 @@ def test_two_view_init_recovers_pose(cam_cfg):
     assert np.median(err) < 0.05
 
 
-def test_two_view_init_rejects_planar(cam_cfg):
-    """Pure-plane scene: H must dominate => initializer defers (the
-    documented planar-branch behavior)."""
+def test_two_view_init_reconstructs_planar(cam_cfg):
+    """Pure-plane scene WITH baseline: the Faugeras homography branch
+    (upstream Initializer::ReconstructH) must recover the true motion —
+    the 8-point E is degenerate on coplanar points, so this exercises the
+    family selection by triangulation support."""
     cam = cam_cfg.camera
     intr = Intrinsics.from_config(cam)
-    _, _, _, uv1, uv2, valid = _two_views(cam, planar=True)
+    _, _, T2, uv1, uv2, valid = _two_views(cam, planar=True)
+    R_gt, t_gt = T2[:3, :3], T2[:3, 3]
     res = two_view_init(intr, jnp.asarray(uv1), jnp.asarray(uv2),
                         jnp.asarray(valid))
-    assert not accept_init(res, int(valid.sum()))
+    assert accept_init(res, int(valid.sum()))
+    R = np.asarray(res.R)
+    ang = np.degrees(np.arccos(np.clip((np.trace(R @ R_gt.T) - 1) / 2,
+                                       -1, 1)))
+    t_est = np.asarray(res.t)
+    t_dir = t_gt / np.linalg.norm(t_gt)
+    assert ang < 1.5, f"planar R error {ang} deg"
+    assert abs(float(t_est @ t_dir)) > 0.98
 
 
 def test_two_view_init_rejects_pure_rotation(cam_cfg):
