@@ -158,8 +158,11 @@ def compute_descriptors(img: jnp.ndarray, uv: jnp.ndarray, valid: jnp.ndarray):
     return desc_u8, desc_pm1, angle
 
 
+@jax.jit
 def unpack_to_pm1(desc_u8: jnp.ndarray) -> jnp.ndarray:
-    """uint8[..., 32] -> int8[..., 256] in {-1, +1} (for matching stored maps)."""
+    """uint8[..., 32] -> int8[..., 256] in {-1, +1} (for matching stored
+    maps). Jitted: callers invoke it per keyframe/fuse pass and the eager
+    4-op dispatch chain dominated host time in the mono mapping loop."""
     weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint8)
     bits = (desc_u8[..., :, None] & weights) > 0             # [..., 32, 8]
     return jnp.where(bits, 1, -1).astype(jnp.int8).reshape(

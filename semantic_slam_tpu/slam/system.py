@@ -46,13 +46,22 @@ CHI2_REPROJ = 5.991   # 2-DoF reprojection gate
 @dataclasses.dataclass
 class FrameInput:
     """Pre-extracted frame features (the sensor-agnostic tracking input)."""
-    uv: np.ndarray          # [N, 2]
+    uv: np.ndarray          # [N, 2] UNDISTORTED pixel coords
     level: np.ndarray       # [N]
     desc_u8: np.ndarray     # [N, 32]
     desc_pm1: np.ndarray    # [N, 256]
     valid: np.ndarray       # [N]
     depth: np.ndarray       # [N] metric depth per keypoint (0 = unknown)
     timestamp: float = 0.0
+    # keypoint orientation (steered-BRIEF angle, radians). Optional: feature
+    # sources without angles (synthetic observe, fixture maps) leave zeros,
+    # which makes the rotation-consistency histogram a no-op when both
+    # sides are zero (single dominant bin keeps everything).
+    angle: Optional[np.ndarray] = None
+
+    def angles(self) -> np.ndarray:
+        return (self.angle if self.angle is not None
+                else np.zeros(len(self.uv), np.float32))
 
 
 class SlamSystem:
@@ -82,10 +91,12 @@ class SlamSystem:
         self.kf_kp_valid = np.zeros((self.K, self.N), bool)
         self.kf_desc = np.zeros((self.K, self.N, 32), np.uint8)
         self.kf_kp_depth = np.zeros((self.K, self.N), np.float32)
+        self.kf_kp_angle = np.zeros((self.K, self.N), np.float32)
         self.pt_xyz = np.zeros((self.P, 3), np.float32)
         self.pt_valid = np.zeros(self.P, bool)
         self.pt_desc = np.zeros((self.P, 32), np.uint8)
         self.pt_desc_pm1 = np.zeros((self.P, 256), np.int8)
+        self.pt_angle = np.zeros(self.P, np.float32)    # reference-obs angle
         self.pt_obs_kf = np.full((self.P, self.O), -1, np.int32)
         self.pt_obs_kp = np.full((self.P, self.O), -1, np.int32)
         self.pt_obs_n = np.zeros(self.P, np.int32)
@@ -116,6 +127,12 @@ class SlamSystem:
         # recycle (SURVEY §7.4 long-context analog).
         self.pt_free: List[int] = []
 
+        # per-keyframe unpacked-descriptor cache (device arrays). Unpacking
+        # [N, 32] u8 -> [N, 256] pm1 eagerly on every triangulation/fuse
+        # call dominated the per-keyframe host time; contents only change
+        # when a slot is (re)written, so cache until then.
+        self._desc_cache: dict = {}
+
         # tracking state
         self.Tcw = np.eye(4, dtype=np.float32)
         self.velocity = np.eye(4, dtype=np.float32)
@@ -125,6 +142,11 @@ class SlamSystem:
         self.frame_count = 0
         self.state = "NOT_INITIALIZED"     # -> OK / LOST
         self.mono = False                  # set by track_monocular
+        self.mono_kf_max_gap = 1           # see keyframe decision note
+        # rotation-consistency in projection tracking requires REAL map-
+        # point angles; fixture maps (bundle.txt stores none) must not run
+        # the histogram against zeros
+        self._use_rotation = True
         self._mono_ref: Optional[FrameInput] = None
         self.trajectory: List[Tuple[float, np.ndarray]] = []   # (t, Tcw)
         self.kf_timestamps = np.zeros(self.K, np.float64)      # per slot
@@ -141,18 +163,54 @@ class SlamSystem:
     # device-map cache
     # ------------------------------------------------------------------
 
+    @classmethod
+    def from_map(cls, m, cfg: SlamConfig) -> "SlamSystem":
+        """Adopt a loaded ``MapArrays`` (e.g. a reference bundle.txt fixture
+        via ``io.mapio.read_bundle``) as live system state — the reference's
+        LoadMap-then-continue flow (``Utility.cpp:106-236`` feeding
+        ``System``). Keypoint/observation geometry, poses, covisibility and
+        tree structure carry over; descriptors carry over when present."""
+        import dataclasses as _dc
+
+        mc = _dc.replace(
+            cfg.map,
+            max_keyframes=int(m.kf_pose.shape[0]),
+            max_points=int(m.pt_xyz.shape[0]),
+            max_kp_per_frame=int(m.kf_kp_uv.shape[1]),
+            max_obs_per_point=int(m.pt_obs_kf.shape[1]))
+        sys_ = cls(_dc.replace(cfg, map=mc))
+        for name in ("kf_pose", "kf_valid", "kf_frame_id", "kf_kp_uv",
+                     "kf_kp_level", "kf_kp_valid", "kf_desc", "kf_kp_depth",
+                     "pt_xyz", "pt_valid", "pt_desc", "pt_obs_kf",
+                     "pt_obs_kp", "pt_obs_n", "kf_parent", "loop_edges"):
+            getattr(sys_, name)[...] = np.asarray(getattr(m, name))
+        C = min(sys_.covis_idx.shape[1], m.covis_idx.shape[1])
+        sys_.covis_idx[:, :C] = np.asarray(m.covis_idx)[:, :C]
+        sys_.covis_w[:, :C] = np.asarray(m.covis_w)[:, :C]
+        sys_.n_kf = int(m.n_kf)
+        sys_.n_pt = int(m.n_pt)
+        sys_._use_rotation = False     # fixture maps carry no kp angles
+        sys_.kf_order = [k for k in range(sys_.n_kf) if sys_.kf_valid[k]]
+        if sys_.kf_order:
+            sys_.Tcw = sys_.kf_pose[sys_.kf_order[-1]].copy()
+            sys_.last_kf_id = sys_.kf_order[-1]
+            sys_.state = "OK"
+        sys_._touch_map()
+        return sys_
+
     def _touch_map(self):
         """Mark the map mutated (invalidates the device-resident copy)."""
         self._map_version += 1
 
     def _device_map(self):
-        """Device copies of (pt_xyz, pt_desc_pm1, pt_valid), cached across
-        frames. Fresh per-call uploads are the reference pattern's silent
-        cost; the map only changes at keyframe rate."""
+        """Device copies of (pt_xyz, pt_desc_pm1, pt_valid, pt_angle),
+        cached across frames. Fresh per-call uploads are the reference
+        pattern's silent cost; the map only changes at keyframe rate."""
         if self._dev_map is None or self._dev_map_version != self._map_version:
             self._dev_map = (jnp.asarray(self.pt_xyz),
                              jnp.asarray(self.pt_desc_pm1),
-                             jnp.asarray(self.pt_valid))
+                             jnp.asarray(self.pt_valid),
+                             jnp.asarray(self.pt_angle))
             self._dev_map_version = self._map_version
         return self._dev_map
 
@@ -184,23 +242,25 @@ class SlamSystem:
 
         cam = self.cfg.camera
         Tcw_pred = (self.velocity @ self.Tcw).astype(np.float32)
-        pt_xyz_d, pt_desc_d, pt_valid_d = self._device_map()
+        pt_xyz_d, pt_desc_d, pt_valid_d, pt_angle_d = self._device_map()
         fargs = (self.intr, jnp.asarray(Tcw_pred), pt_xyz_d, pt_desc_d,
                  pt_valid_d, jnp.asarray(gray, jnp.float32),
                  jnp.asarray(depth, jnp.float32), self.cfg.orb,
-                 cam.width, cam.height)
+                 cam.width, cam.height, pt_angle_d)
         pack, desc_u8_d, desc_pm1_d = track_rgbd_frame(
-            *fargs, radius=15.0, max_dist=75)
+            *fargs, radius=15.0, max_dist=75,
+            use_rotation=self._use_rotation)
         pk = np.asarray(pack)                       # the one readback
         if int(pk[17]) < 10:
             # widened re-search before LOST (TrackWithMotionModel retry)
             pack, desc_u8_d, desc_pm1_d = track_rgbd_frame(
-                *fargs, radius=45.0, max_dist=75)
+                *fargs, radius=45.0, max_dist=75,
+                use_rotation=self._use_rotation)
             pk = np.asarray(pack)
         Tcw_new = pk[:16].reshape(4, 4).astype(np.float32)
         n_match = int(pk[16])
         n_inl = int(pk[17])
-        Nf = (len(pk) - 18) // 7
+        Nf = (len(pk) - 18) // 8
         col = lambda i: pk[18 + i * Nf: 18 + (i + 1) * Nf]
         match_pt = col(0).astype(np.int32)
         inlier_kp = col(1) > 0.5
@@ -224,11 +284,12 @@ class SlamSystem:
                 desc_u8=np.asarray(desc_u8_d),
                 desc_pm1=np.asarray(desc_pm1_d),
                 valid=col(6) > 0.5, depth=col(5).astype(np.float32),
-                timestamp=timestamp)
+                timestamp=timestamp, angle=col(7).astype(np.float32))
             if sel is not None:
                 fi = FrameInput(fi.uv[sel], fi.level[sel], fi.desc_u8[sel],
                                 fi.desc_pm1[sel], fi.valid[sel],
-                                fi.depth[sel], fi.timestamp)
+                                fi.depth[sel], fi.timestamp,
+                                angle=fi.angle[sel])
             return self._pad_frame(fi)
 
         pad = self.N - Nf
@@ -243,16 +304,22 @@ class SlamSystem:
 
     def _track_rgbd_generic(self, gray: np.ndarray, depth: np.ndarray,
                             timestamp: float = 0.0) -> np.ndarray:
+        from semantic_slam_tpu.geometry.camera import undistort_points
+
         feats = extract_orb(jnp.asarray(gray, jnp.float32), self.cfg.orb)
-        uv = np.asarray(feats.uv)
-        xi = np.clip(uv[:, 0].astype(int), 0, depth.shape[1] - 1)
-        yi = np.clip(uv[:, 1].astype(int), 0, depth.shape[0] - 1)
+        uv_raw = np.asarray(feats.uv)
+        # depth is sampled at the RAW sensor pixel; everything downstream
+        # works in undistorted coordinates (Frame::UndistortKeyPoints)
+        xi = np.clip(uv_raw[:, 0].astype(int), 0, depth.shape[1] - 1)
+        yi = np.clip(uv_raw[:, 1].astype(int), 0, depth.shape[0] - 1)
         d = depth[yi, xi].astype(np.float32)
         fi = FrameInput(
-            uv=uv, level=np.asarray(feats.level),
+            uv=np.asarray(undistort_points(self.intr, feats.uv)),
+            level=np.asarray(feats.level),
             desc_u8=np.asarray(feats.desc_u8),
             desc_pm1=np.asarray(feats.desc_pm1),
-            valid=np.asarray(feats.valid), depth=d, timestamp=timestamp)
+            valid=np.asarray(feats.valid), depth=d, timestamp=timestamp,
+            angle=np.asarray(feats.angle))
         return self.track_features(fi)
 
     def track_monocular(self, gray: np.ndarray,
@@ -262,13 +329,17 @@ class SlamSystem:
         two-view initialization succeeds the pose is identity and state
         stays NOT_INITIALIZED."""
         self.mono = True
+        from semantic_slam_tpu.geometry.camera import undistort_points
+
         feats = extract_orb(jnp.asarray(gray, jnp.float32), self.cfg.orb)
         fi = FrameInput(
-            uv=np.asarray(feats.uv), level=np.asarray(feats.level),
+            uv=np.asarray(undistort_points(self.intr, feats.uv)),
+            level=np.asarray(feats.level),
             desc_u8=np.asarray(feats.desc_u8),
             desc_pm1=np.asarray(feats.desc_pm1),
             valid=np.asarray(feats.valid),
-            depth=np.zeros(len(feats.uv), np.float32), timestamp=timestamp)
+            depth=np.zeros(len(feats.uv), np.float32), timestamp=timestamp,
+            angle=np.asarray(feats.angle))
         return self.track_features(fi)
 
     def track_features(self, fi: FrameInput) -> np.ndarray:
@@ -293,6 +364,17 @@ class SlamSystem:
     # ------------------------------------------------------------------
     # place recognition / relocalization
     # ------------------------------------------------------------------
+
+    def save_keyframe_trajectory_tum(self, path: str) -> None:
+        """Write KEYFRAME poses (not every frame) in TUM format — the stock
+        exporter ORB-SLAM2 ships as SaveKeyFrameTrajectoryTUM (reference
+        ``src/ORB_SLAM2/System.cc:331-509`` range): keyframes in insertion
+        order, timestamp + camera-to-world translation/quaternion."""
+        ks = [k for k in self.kf_order if self.kf_valid[k]]
+        times = np.asarray([self.kf_timestamps[k] for k in ks])
+        poses_twc = np.stack([self._inv_np(self.kf_pose[k]) for k in ks]) \
+            if ks else np.zeros((0, 4, 4), np.float32)
+        mapio.write_trajectory_tum(path, times, poses_twc)
 
     def attach_place_recognition(self, vocab):
         """Enable BoW keyframe indexing (relocalization + loop detection).
@@ -345,12 +427,16 @@ class SlamSystem:
             ids = np.nonzero(obs)[0][:max_points]
             if len(ids) < 30:
                 continue
+            # bucket the candidate-point count: every jitted program below
+            # is shape-specialized, and candidate sizes differ every try
+            ids, real = self._pad_to_bucket(ids, 512)
             pdesc = unpack_to_pm1(jnp.asarray(self.pt_desc[ids]))
             res = match_descriptors(
                 pdesc, jnp.asarray(fi.desc_pm1),
-                jnp.ones(len(ids), bool), jnp.asarray(fi.valid),
+                jnp.asarray(real), jnp.asarray(fi.valid),
                 max_dist=60, ratio=0.85, mutual=True)
-            midx = np.asarray(res.idx)
+            midx = np.array(res.idx)
+            midx[~real] = -1
             sel = midx >= 0
             if sel.sum() < 20:
                 continue
@@ -358,8 +444,20 @@ class SlamSystem:
             uv_obs = np.zeros((len(ids), 2), np.float32)
             pts_w[sel] = self.pt_xyz[ids[sel]]
             uv_obs[sel] = fi.uv[midx[sel]]
+            # PnP RANSAC seed (upstream Tracking::Relocalization runs a
+            # PnPsolver per candidate): a from-scratch pose hypothesis so
+            # kidnapped-robot cases — where the true pose is far from every
+            # candidate keyframe's — still converge. The candidate's own
+            # pose remains the fallback seed when PnP support is weak.
+            from semantic_slam_tpu.slam.pnp import pnp_ransac
+
+            pnp = pnp_ransac(self.intr, jnp.asarray(pts_w),
+                             jnp.asarray(uv_obs), jnp.asarray(sel),
+                             seed=self.frame_count)
+            seed_pose = (np.asarray(pnp.Tcw) if int(pnp.n_inliers) >= 12
+                         else self.kf_pose[cand])
             opt = pose_optimize(
-                self.intr, jnp.asarray(self.kf_pose[cand]),
+                self.intr, jnp.asarray(seed_pose),
                 jnp.asarray(pts_w), jnp.asarray(uv_obs), jnp.asarray(sel),
                 jnp.ones(len(ids)))
             if int(opt.n_inliers) >= 20:
@@ -375,21 +473,23 @@ class SlamSystem:
 
     def _pad_frame(self, fi: FrameInput) -> FrameInput:
         n = len(fi.uv)
+        ang = fi.angles()
         if n == self.N:
-            return fi
+            return fi if fi.angle is not None else dataclasses.replace(
+                fi, angle=ang)
         if n > self.N:
             order = np.argsort(~fi.valid, kind="stable")   # keep valid first
             sel = order[: self.N]
             return FrameInput(fi.uv[sel], fi.level[sel], fi.desc_u8[sel],
                               fi.desc_pm1[sel], fi.valid[sel], fi.depth[sel],
-                              fi.timestamp)
+                              fi.timestamp, angle=ang[sel])
         pad = self.N - n
         return FrameInput(
             np.pad(fi.uv, ((0, pad), (0, 0))), np.pad(fi.level, (0, pad)),
             np.pad(fi.desc_u8, ((0, pad), (0, 0))),
             np.pad(fi.desc_pm1, ((0, pad), (0, 0))),
             np.pad(fi.valid, (0, pad)), np.pad(fi.depth, (0, pad)),
-            fi.timestamp)
+            fi.timestamp, angle=np.pad(ang, (0, pad)))
 
     def _initialize(self, fi: FrameInput):
         if self.mono:
@@ -421,12 +521,18 @@ class SlamSystem:
             self._mono_ref = fi
             return
         ref = self._mono_ref
-        # SearchForInitialization semantics: 100 px window, ratio 0.9
+        # SearchForInitialization semantics: 100 px window, ratio 0.9,
+        # then the rotation-histogram filter (CheckOrientation — a no-op
+        # when the feature source carries no angles)
+        from semantic_slam_tpu.ops.match import rotation_consistency
+
         mask = window_mask(jnp.asarray(ref.uv), jnp.asarray(fi.uv), 100.0)
         res = match_descriptors(
             jnp.asarray(ref.desc_pm1), jnp.asarray(fi.desc_pm1),
             jnp.asarray(ref.valid), jnp.asarray(fi.valid), mask,
             max_dist=50, ratio=0.9, mutual=True)
+        res = rotation_consistency(jnp.asarray(ref.angles()),
+                                   jnp.asarray(fi.angles()), res)
         midx = np.asarray(res.idx)
         sel = midx >= 0
         if int(sel.sum()) < 100:
@@ -461,6 +567,7 @@ class SlamSystem:
         self.pt_valid[sl] = True
         self.pt_desc[sl] = fi.desc_u8[midx[idxs]]
         self.pt_desc_pm1[sl] = fi.desc_pm1[midx[idxs]]
+        self.pt_angle[sl] = fi.angles()[midx[idxs]]
         self.pt_obs_kf[sl, 0] = k0
         self.pt_obs_kp[sl, 0] = idxs
         self.pt_obs_kf[sl, 1] = k1
@@ -479,18 +586,28 @@ class SlamSystem:
 
     def _track(self, fi: FrameInput):
         Tcw_pred = (self.velocity @ self.Tcw).astype(np.float32)
-        pt_xyz_d, pt_desc_d, pt_valid_d = self._device_map()
+        pt_xyz_d, pt_desc_d, pt_valid_d, pt_angle_d = self._device_map()
+        use_rot = self._use_rotation and fi.angle is not None
         args = (self.intr, jnp.asarray(Tcw_pred),
                 pt_xyz_d, pt_desc_d, pt_valid_d,
                 jnp.asarray(fi.uv), jnp.asarray(fi.desc_pm1),
                 jnp.asarray(fi.valid), jnp.asarray(fi.level),
-                self.cfg.camera.width, self.cfg.camera.height)
-        res = track_with_map(*args, radius=15.0, max_dist=75)
-        if int(res.n_inliers) < 10:
+                self.cfg.camera.width, self.cfg.camera.height,
+                pt_angle_d, jnp.asarray(fi.angles()))
+        res = track_with_map(*args, radius=15.0, max_dist=75,
+                             use_rotation=use_rot)
+        if int(res.n_inliers) < 20:
             # motion-model miss: re-search with a widened window before
             # declaring LOST (ORB-SLAM2 TrackWithMotionModel retries with
-            # th*2 when the first projection search starves)
-            res = track_with_map(*args, radius=45.0, max_dist=75)
+            # th*2 when the first projection search starves). Threshold 20 =
+            # upstream's nmatches<20 retry trigger; the old <10 let a
+            # half-starved first pass (10-19 inliers) through, below the
+            # keyframe-insertion health floor — a death spiral on fast
+            # motion.
+            wide = track_with_map(*args, radius=45.0, max_dist=75,
+                                  use_rotation=use_rot)
+            if int(wide.n_inliers) > int(res.n_inliers):
+                res = wide
         Tcw_new, n_match, n_inl, match_pt, inlier_kp = jax.device_get(
             (res.Tcw, res.n_matches, res.n_inliers,
              res.match_pt, res.inlier_kp))
@@ -544,9 +661,17 @@ class SlamSystem:
         # thRefRatio — mono map growth NEEDS a new keyframe while tracking
         # is still healthy, or triangulation starves), 0.5 otherwise
         # (upstream's philosophy: insert generously, cull redundancy after).
+        # mono default max_gap=1: a keyframe EVERY healthy frame while
+        # exploring. Triangulation is monocular's only point source and
+        # needs partner keyframes whose descriptors still match the current
+        # texture; a 2-frame gap was enough for the matchable set to cliff
+        # from 48 to 17 inliers on fast motion over real pixels (upstream
+        # mono inserts near-every-frame under its idle conditions too, then
+        # culls redundancy — so do we). mono_kf_max_gap is an attribute so
+        # synthetic-descriptor drives (no viewpoint decay) can relax it.
         if need_keyframe(n_inl, self.ref_kf_inliers, self.frames_since_kf,
                          min_inliers=15, ratio=0.9 if self.mono else 0.5,
-                         max_gap=20):
+                         max_gap=(self.mono_kf_max_gap if self.mono else 20)):
             kf = self._insert_keyframe(get_fi(), match_pt=match_pt,
                                        inlier_kp=inlier_kp)
             self.last_kf_id = kf
@@ -624,7 +749,9 @@ class SlamSystem:
         self.kf_kp_level[k] = fi.level
         self.kf_kp_valid[k] = fi.valid
         self.kf_desc[k] = fi.desc_u8
+        self._desc_cache.pop(k, None)       # slot content changed
         self.kf_kp_depth[k] = fi.depth
+        self.kf_kp_angle[k] = fi.angles()
         self.kf_timestamps[k] = fi.timestamp
         if len(self.kf_order) >= 2:
             self.kf_parent[k] = self.last_kf_id
@@ -641,6 +768,18 @@ class SlamSystem:
                     self.pt_obs_kp[p, n] = kp_i
                     self.pt_obs_n[p] = n + 1
                 claimed[kp_i] = True
+            # refresh representative descriptors with the newest keyframe's
+            # view (MapPoint::ComputeDistinctiveDescriptors role — upstream
+            # picks the median-distance observation; the newest one tracks
+            # viewpoint drift, which is what keeps points matchable on
+            # fast-decorrelating texture: without refresh, monocular maps
+            # starve within ~5 frames because creation-time descriptors stop
+            # matching anything)
+            kp_idx = np.nonzero(sel)[0]
+            p_idx = match_pt[kp_idx]
+            self.pt_desc[p_idx] = fi.desc_u8[kp_idx]
+            self.pt_desc_pm1[p_idx] = fi.desc_pm1[kp_idx]
+            self.pt_angle[p_idx] = fi.angles()[kp_idx]
 
         # 2) create new map points from unmatched keypoints with depth
         #    (ORB-SLAM2 RGBD new-point rule: close points from depth)
@@ -663,6 +802,7 @@ class SlamSystem:
             self.pt_valid[sl] = True
             self.pt_desc[sl] = fi.desc_u8[idxs]
             self.pt_desc_pm1[sl] = fi.desc_pm1[idxs]
+            self.pt_angle[sl] = fi.angles()[idxs]
             self.pt_obs_kf[sl, 0] = k
             self.pt_obs_kp[sl, 0] = idxs
             self.pt_obs_n[sl] = 1
@@ -675,6 +815,28 @@ class SlamSystem:
             self._kfdb.add(k, d, fi.valid)
         self._touch_map()
         return k
+
+    def _kf_desc_dev(self, k: int) -> jnp.ndarray:
+        """Keyframe k's descriptors as a cached device [N, 256] pm1 array."""
+        d = self._desc_cache.get(k)
+        if d is None:
+            d = unpack_to_pm1(jnp.asarray(self.kf_desc[k]))
+            self._desc_cache[k] = d
+        return d
+
+    @staticmethod
+    def _pad_to_bucket(idx: np.ndarray, granule: int) -> Tuple[np.ndarray,
+                                                               np.ndarray]:
+        """Pad an index vector to a bucketed length (repeating idx[0]) so
+        downstream jitted programs see a bounded set of shapes instead of a
+        fresh compile per call. Returns (padded_idx, real_mask)."""
+        n = len(idx)
+        cap = max(granule, -(-n // granule) * granule)
+        out = np.full(cap, idx[0] if n else 0, idx.dtype if n else np.int64)
+        out[:n] = idx
+        real = np.zeros(cap, bool)
+        real[:n] = True
+        return out, real
 
     def _claimed_keypoints(self, k: int) -> np.ndarray:
         """[N] bool: keypoints of keyframe k already bound to a map point."""
@@ -704,7 +866,10 @@ class SlamSystem:
         Tk = self.kf_pose[k]
         unclaimed_k = ~self._claimed_keypoints(k) & self.kf_kp_valid[k]
         sig2_k = 1.2 ** (2.0 * self.kf_kp_level[k])
-        desc_k = unpack_to_pm1(jnp.asarray(self.kf_desc[k]))
+        desc_k = self._kf_desc_dev(k)
+        # per-call diagnostics (cheap; read by probes/tests, never control)
+        self._tri_stats = {"kf": k, "partners": len(partners), "matched": 0,
+                           "accepted": 0, "unclaimed": int(unclaimed_k.sum())}
         for j in partners:
             # exhausted == bump region full AND no recycled slots: with only
             # the bump check, triangulation (monocular's sole point source
@@ -730,23 +895,41 @@ class SlamSystem:
                    + lines_k[:, None, 1] * uvk[None, :, 1]
                    + lines_k[:, None, 2]) ** 2
             den = lines_k[:, 0:1] ** 2 + lines_k[:, 1:2] ** 2 + 1e-12
-            epi_ok = np.asarray(num / den) < CHI2_EPI * sig2_k[None, :]
-            desc_j = unpack_to_pm1(jnp.asarray(self.kf_desc[j]))
+            # 16x the 1-DoF gate (~4x distance): the epipolar prediction
+            # carries the RELATIVE pose error of two estimated keyframes
+            # (~0.5-1 deg early in a monocular map => ~3-5 px of line
+            # displacement at fx~268). The strict gate starved triangulation
+            # to ~0 points/KF exactly when the young map most needs
+            # replenishment; matching stays safe because it is still
+            # mutual + ratio-gated, and bad points die in the acceptance
+            # reproj check, MapPointCulling, and BA chi2 trims.
+            epi_ok = np.asarray(num / den) < 16.0 * CHI2_EPI * sig2_k[None, :]
+            desc_j = self._kf_desc_dev(j)
             res = match_descriptors(
                 desc_j, desc_k, jnp.asarray(unclaimed_j),
                 jnp.asarray(unclaimed_k), jnp.asarray(epi_ok),
                 max_dist=50, ratio=0.8, mutual=True)
+            # CheckOrientation on the 2D-2D pairs (no-op without angles)
+            from semantic_slam_tpu.ops.match import rotation_consistency
+
+            res = rotation_consistency(jnp.asarray(self.kf_kp_angle[j]),
+                                       jnp.asarray(self.kf_kp_angle[k]), res)
             mj = np.asarray(res.idx)                          # kp_j -> kp_k
             pair_j = np.nonzero(mj >= 0)[0]
+            self._tri_stats["matched"] += len(pair_j)
             if len(pair_j) == 0:
                 continue
             pair_k = mj[pair_j]
+            # bucket the pair count: triangulate_linear is shape-specialized
+            # and an unpadded call would compile fresh for every new count
+            pj_pad, real = self._pad_to_bucket(pair_j, 128)
+            pk_pad = mj[pj_pad]
             Xw, z1 = triangulate_linear(
                 jnp.asarray(Tj), jnp.asarray(Tk), jnp.asarray(K),
-                jnp.asarray(self.kf_kp_uv[j][pair_j]),
-                jnp.asarray(uvk[pair_k]))
-            Xw = np.asarray(Xw)
-            z1 = np.asarray(z1)
+                jnp.asarray(self.kf_kp_uv[j][pj_pad]),
+                jnp.asarray(uvk[pk_pad]))
+            Xw = np.asarray(Xw)[real]
+            z1 = np.asarray(z1)[real]
             # acceptance: positive depth both views, reprojection both views,
             # parallax above ~0.36 deg
             def cam(T, X):
@@ -761,7 +944,12 @@ class SlamSystem:
                 z = np.maximum(pc[:, 2], 1e-9)
                 pr = np.stack([K[0, 0] * pc[:, 0] / z + K[0, 2],
                                K[1, 1] * pc[:, 1] / z + K[1, 2]], -1)
-                ok &= np.sum((pr - uv_) ** 2, -1) < CHI2_REPROJ * sig_
+                # 4x the 2-DoF gate: under pose error the triangulation
+                # splits the epipolar inconsistency between the two views'
+                # residuals; the strict gate rejected geometry the next
+                # local BA would have reconciled (points it keeps are still
+                # chi2-trimmed there)
+                ok &= np.sum((pr - uv_) ** 2, -1) < 4.0 * CHI2_REPROJ * sig_
             cj = -Tj[:3, :3].T @ Tj[:3, 3]
             ck = -Tk[:3, :3].T @ Tk[:3, 3]
             r1 = Xw - cj
@@ -773,6 +961,7 @@ class SlamSystem:
             idx = np.nonzero(ok)[0]
             sl = self._alloc_points(len(idx))
             idx = idx[: len(sl)]
+            self._tri_stats["accepted"] += len(idx)
             if len(idx) == 0:
                 continue
             self.pt_xyz[sl] = Xw[idx]
@@ -780,6 +969,7 @@ class SlamSystem:
             self.pt_desc[sl] = self.kf_desc[k][pair_k[idx]]
             self.pt_desc_pm1[sl] = np.asarray(
                 unpack_to_pm1(jnp.asarray(self.kf_desc[k][pair_k[idx]])))
+            self.pt_angle[sl] = self.kf_kp_angle[k][pair_k[idx]]
             self.pt_obs_kf[sl, 0] = j
             self.pt_obs_kp[sl, 0] = pair_j[idx]
             self.pt_obs_kf[sl, 1] = k
@@ -1065,17 +1255,23 @@ class SlamSystem:
         cand = src_pts[vis]
         if len(cand) == 0:
             return 0
-        uv_proj = np.stack([u[vis], v[vis]], -1).astype(np.float32)
+        # bucket the candidate count so the matcher compiles once per bucket
+        # instead of once per call (this loop ran 6x per keyframe and was
+        # recompiling nearly every time)
+        cand, real = self._pad_to_bucket(cand, 512)
+        uv_all = np.zeros((len(cand), 2), np.float32)
+        uv_all[real] = np.stack([u[vis], v[vis]], -1).astype(np.float32)
         kp_uv = self.kf_kp_uv[j]
         kp_r = radius * 1.2 ** self.kf_kp_level[j].astype(np.float32)
-        d2 = ((uv_proj[:, None, :] - kp_uv[None, :, :]) ** 2).sum(-1)
+        d2 = ((uv_all[:, None, :] - kp_uv[None, :, :]) ** 2).sum(-1)
         mask = d2 <= (kp_r[None, :] ** 2)
         res = match_descriptors(
             unpack_to_pm1(jnp.asarray(self.pt_desc[cand])),
-            unpack_to_pm1(jnp.asarray(self.kf_desc[j])),
-            jnp.ones(len(cand), bool), jnp.asarray(self.kf_kp_valid[j]),
+            self._kf_desc_dev(j),
+            jnp.asarray(real), jnp.asarray(self.kf_kp_valid[j]),
             jnp.asarray(mask), max_dist=max_dist, ratio=0.9, mutual=True)
-        midx = np.asarray(res.idx)
+        midx = np.array(res.idx)            # writable copy
+        midx[~real] = -1
         kp_map = self._kp_point_map(j)
         n_fused = 0
         for ci in np.nonzero(midx >= 0)[0]:
@@ -1189,8 +1385,14 @@ class SlamSystem:
             self.pt_obs_kf[p, :len(kfs)] = kfs
             self.pt_obs_kp[p, :len(kps)] = kps
             self.pt_obs_n[p] = len(kfs)
-            if len(kfs) == 0 and self.pt_valid[p]:
-                orphans.append(p)     # MapPoint::SetBadFlag analog
+            # MapPoint::SetBadFlag analog (upstream EraseObservation kills a
+            # point once support drops too low). Monocular points are only
+            # real with >= 2 views (triangulation is their sole source);
+            # RGB-D/stereo points are depth-backed and legitimately live
+            # with a single observation.
+            min_obs = 2 if self.mono else 1
+            if len(kfs) < min_obs and self.pt_valid[p]:
+                orphans.append(p)
         if orphans:
             self._free_points(np.asarray(orphans))
         # spanning-tree repair: children inherit j's parent

@@ -21,9 +21,11 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from semantic_slam_tpu.geometry.camera import Intrinsics, project, in_image
+from semantic_slam_tpu.geometry.camera import (Intrinsics, project, in_image,
+                                               undistort_points)
 from semantic_slam_tpu.geometry.se3 import se3_exp, transform_points, orthonormalize_pose
-from semantic_slam_tpu.ops.match import match_descriptors, window_mask, level_mask
+from semantic_slam_tpu.ops.match import (match_descriptors, window_mask,
+                                         level_mask, rotation_consistency)
 
 CHI2_2D = 5.991  # 95% chi2 with 2 dof (ORB-SLAM2 outlier threshold)
 
@@ -135,72 +137,97 @@ class TrackResult(NamedTuple):
     inlier_kp: jnp.ndarray    # [N_kp] bool keypoint is a pose inlier
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "max_dist",
-                                             "max_candidates"))
+@functools.partial(jax.jit, static_argnames=("radius", "radius2", "max_dist",
+                                             "max_candidates",
+                                             "use_rotation"))
 def track_with_map(
     intr: Intrinsics,
     Tcw_pred: jnp.ndarray,     # [4, 4] motion-model prediction
     pt_xyz: jnp.ndarray,       # [P, 3] map points (world)
     pt_desc_pm1: jnp.ndarray,  # [P, 256] int8
     pt_valid: jnp.ndarray,     # [P] bool
-    kp_uv: jnp.ndarray,        # [N, 2] frame keypoints
+    kp_uv: jnp.ndarray,        # [N, 2] frame keypoints (undistorted)
     kp_desc_pm1: jnp.ndarray,  # [N, 256] int8
     kp_valid: jnp.ndarray,     # [N] bool
     kp_level: jnp.ndarray,     # [N] i32
     width: int = 640,
     height: int = 480,
+    pt_angle: jnp.ndarray = None,   # [P] map-point reference angle (rad)
+    kp_angle: jnp.ndarray = None,   # [N] keypoint angle (rad)
     *,
     radius: float = 15.0,
+    radius2: float = 6.0,
     max_dist: int = 75,
     max_candidates: int = 4096,
+    use_rotation: bool = False,
 ) -> TrackResult:
-    """Search-by-projection + pose GN against a (local) map.
+    """TWO-STAGE search-by-projection + pose GN against a (local) map.
 
-    Mirrors ORB-SLAM2 TrackWithMotionModel/TrackLocalMap: project every valid
-    map point with the predicted pose, compact the frustum-visible subset
-    (the "local map") to `max_candidates` slots with fast row gathers, then
-    window-masked MXU Hamming matching + pose GN on the compacted set — the
-    distance matrix shrinks from [P, N] to [C, N].
+    Mirrors ORB-SLAM2's TrackWithMotionModel THEN TrackLocalMap: stage 1
+    projects every valid map point with the predicted pose and matches in a
+    wide window (`radius`, motion-model uncertainty); stage 2 re-projects
+    with the refined pose and gathers ALL matchable points in a tight window
+    (`radius2`, refined-pose uncertainty), then re-optimizes. The second
+    gather is what keeps the inlier count near the matchable ceiling when
+    the motion model is only approximately right — single-pass tracking
+    collapses (20 matches from a 700-point visible map) the moment the
+    prediction drifts half a window. The stage-2 result is kept only when
+    it does not lose inliers (a diverged stage 1 must not poison stage 2).
+    Both stages are in ONE jitted program: the extra Hamming matmul + GN is
+    ~free on the MXU next to a dispatch boundary.
     """
     P = pt_xyz.shape[0]
-    pc = transform_points(Tcw_pred[None], pt_xyz[None])[0]
-    uv_proj, z = project(intr, pc)
-    visible = pt_valid & (z > 0.05) & in_image(uv_proj, width, height, margin=5)
-
     C = min(max_candidates, P)
-    from semantic_slam_tpu.ops.compact import compact_indices
-    cand, cvis = compact_indices(visible, C)
-    cdesc = pt_desc_pm1[cand]
-    cxyz = pt_xyz[cand]
-    cuv = uv_proj[cand]
-
-    # scale-aware search window (ORB-SLAM2 SearchByProjection: radius grows
-    # as th * scaleFactor^octave — the keypoint's pyramid level sets the
-    # localization uncertainty; knobs from config/TUM3.yaml:41-54)
-    kp_r = radius * 1.2 ** kp_level.astype(jnp.float32)          # [N]
-    d2 = jnp.sum((cuv[:, None, :] - kp_uv[None, :, :]) ** 2, axis=-1)
-    mask = d2 <= kp_r[None, :] ** 2
-    res = match_descriptors(cdesc, kp_desc_pm1, cvis, kp_valid,
-                            mask, max_dist=max_dist, ratio=0.95, mutual=True)
-    matched = res.idx >= 0                                   # [C]
-    kp_idx = jnp.clip(res.idx, 0, None)
-    uv_obs = kp_uv[kp_idx]
-    inv_sigma2 = 1.0 / (1.2 ** (2.0 * kp_level[kp_idx].astype(jnp.float32)))
-
-    opt = pose_optimize(intr, Tcw_pred, cxyz, uv_obs, matched, inv_sigma2)
-
-    # per-keypoint view of the matching (for map bookkeeping on the host)
     N = kp_uv.shape[0]
-    match_pt = jnp.full((N,), -1, jnp.int32)
-    match_pt = match_pt.at[kp_idx].set(
-        jnp.where(matched, cand.astype(jnp.int32), -1), mode="drop")
-    inlier_kp = jnp.zeros((N,), bool).at[kp_idx].set(opt.inliers, mode="drop")
+    from semantic_slam_tpu.ops.compact import compact_indices
+
+    def one_pass(Tcw0, rad):
+        pc = transform_points(Tcw0[None], pt_xyz[None])[0]
+        uv_proj, z = project(intr, pc)
+        visible = pt_valid & (z > 0.05) & in_image(uv_proj, width, height,
+                                                   margin=5)
+        cand, cvis = compact_indices(visible, C)
+        cdesc = pt_desc_pm1[cand]
+        cxyz = pt_xyz[cand]
+        cuv = uv_proj[cand]
+        # scale-aware search window (ORB-SLAM2 SearchByProjection: radius
+        # grows as th * scaleFactor^octave — the keypoint's pyramid level
+        # sets the localization uncertainty; knobs config/TUM3.yaml:41-54)
+        kp_r = rad * 1.2 ** kp_level.astype(jnp.float32)         # [N]
+        d2 = jnp.sum((cuv[:, None, :] - kp_uv[None, :, :]) ** 2, axis=-1)
+        mask = d2 <= kp_r[None, :] ** 2
+        res = match_descriptors(cdesc, kp_desc_pm1, cvis, kp_valid,
+                                mask, max_dist=max_dist, ratio=0.95,
+                                mutual=True)
+        if use_rotation:
+            # ORB-SLAM2 CheckOrientation: the angle delta between a map
+            # point's reference observation and its new match concentrates
+            # in few histogram bins under rigid motion; off-bin matches are
+            # outliers (rotation-rich sequences especially)
+            res = rotation_consistency(pt_angle[cand], kp_angle, res)
+        matched = res.idx >= 0                                   # [C]
+        kp_idx = jnp.clip(res.idx, 0, None)
+        uv_obs = kp_uv[kp_idx]
+        inv_sigma2 = 1.0 / (1.2 ** (2.0 *
+                                    kp_level[kp_idx].astype(jnp.float32)))
+        opt = pose_optimize(intr, Tcw0, cxyz, uv_obs, matched, inv_sigma2)
+        # per-keypoint view of the matching (for host map bookkeeping)
+        match_pt = jnp.full((N,), -1, jnp.int32)
+        match_pt = match_pt.at[kp_idx].set(
+            jnp.where(matched, cand.astype(jnp.int32), -1), mode="drop")
+        inlier_kp = jnp.zeros((N,), bool).at[kp_idx].set(opt.inliers,
+                                                         mode="drop")
+        return opt, jnp.sum(matched).astype(jnp.int32), match_pt, inlier_kp
+
+    opt1, nm1, mpt1, ikp1 = one_pass(Tcw_pred, radius)
+    opt2, nm2, mpt2, ikp2 = one_pass(opt1.Tcw, radius2)
+    use2 = opt2.n_inliers >= opt1.n_inliers
     return TrackResult(
-        Tcw=opt.Tcw,
-        n_matches=jnp.sum(matched).astype(jnp.int32),
-        n_inliers=opt.n_inliers,
-        match_pt=match_pt,
-        inlier_kp=inlier_kp,
+        Tcw=jnp.where(use2, opt2.Tcw, opt1.Tcw),
+        n_matches=jnp.where(use2, nm2, nm1),
+        n_inliers=jnp.where(use2, opt2.n_inliers, opt1.n_inliers),
+        match_pt=jnp.where(use2, mpt2, mpt1),
+        inlier_kp=jnp.where(use2, ikp2, ikp1),
     )
 
 
@@ -227,11 +254,15 @@ def track_frame(
     `ORBextractor` and `Tracking` per frame (System.cc:213); two separate jit
     calls pay a device dispatch each (~0.5-1 ms through a remote transport)
     — fusing removes the boundary and lets XLA overlap the pyramid with the
-    map projection. Returns (features, TrackResult)."""
+    map projection. Returns (features, TrackResult). Keypoints are
+    undistorted before matching (Frame::UndistortKeyPoints parity — map
+    geometry lives in ideal pinhole coordinates; a no-op for zero
+    coefficients)."""
     from semantic_slam_tpu.ops.orb import extract_orb  # local: avoid cycle
     feats = extract_orb(img, orb_cfg)
+    uv_und = undistort_points(intr, feats.uv)
     res = track_with_map(intr, Tcw_pred, pt_xyz, pt_desc_pm1, pt_valid,
-                         feats.uv, feats.desc_pm1, feats.valid, feats.level,
+                         uv_und, feats.desc_pm1, feats.valid, feats.level,
                          width, height, radius=radius, max_dist=max_dist,
                          max_candidates=max_candidates)
     return feats, res
@@ -239,7 +270,8 @@ def track_frame(
 
 @functools.partial(jax.jit, static_argnames=("orb_cfg", "width", "height",
                                               "radius", "max_dist",
-                                              "max_candidates"))
+                                              "max_candidates",
+                                              "use_rotation"))
 def track_rgbd_frame(
     intr: Intrinsics,
     Tcw_pred: jnp.ndarray,     # [4, 4]
@@ -251,10 +283,12 @@ def track_rgbd_frame(
     orb_cfg,
     width: int = 640,
     height: int = 480,
+    pt_angle: jnp.ndarray = None,  # [P] map-point reference angle
     *,
     radius: float = 15.0,
     max_dist: int = 75,
     max_candidates: int = 4096,
+    use_rotation: bool = False,
 ):
     """RGB-D per-frame program with a single packed host readback.
 
@@ -270,21 +304,28 @@ def track_rgbd_frame(
       pack[17]          n_inliers
       pack[18+0N:18+1N] match_pt   (map slot per keypoint, -1 = none)
       pack[18+1N:18+2N] inlier_kp  (0/1)
-      pack[18+2N:18+3N] u
-      pack[18+3N:18+4N] v
+      pack[18+2N:18+3N] u          (undistorted)
+      pack[18+3N:18+4N] v          (undistorted)
       pack[18+4N:18+5N] level
-      pack[18+5N:18+6N] depth at keypoint
+      pack[18+5N:18+6N] depth at keypoint (sampled at the RAW pixel)
       pack[18+6N:18+7N] valid      (0/1)
+      pack[18+7N:18+8N] angle      (radians)
 
     Descriptors (only needed on the rare keyframe-insertion frames) are
     returned as device arrays and read back lazily by the caller.
-    Returns (pack [18+7N] f32, desc_u8 [N,32], desc_pm1 [N,256])."""
+    Returns (pack [18+8N] f32, desc_u8 [N,32], desc_pm1 [N,256])."""
     from semantic_slam_tpu.ops.orb import extract_orb  # local: avoid cycle
     feats = extract_orb(img, orb_cfg)
+    # Frame::UndistortKeyPoints parity: match/optimize in ideal pinhole
+    # coordinates; depth is sampled at the raw detection pixel (the sensor
+    # grid), not the undistorted one
+    uv_und = undistort_points(intr, feats.uv)
     res = track_with_map(intr, Tcw_pred, pt_xyz, pt_desc_pm1, pt_valid,
-                         feats.uv, feats.desc_pm1, feats.valid, feats.level,
-                         width, height, radius=radius, max_dist=max_dist,
-                         max_candidates=max_candidates)
+                         uv_und, feats.desc_pm1, feats.valid, feats.level,
+                         width, height, pt_angle, feats.angle,
+                         radius=radius, max_dist=max_dist,
+                         max_candidates=max_candidates,
+                         use_rotation=use_rotation)
     xi = jnp.clip(feats.uv[:, 0].astype(jnp.int32), 0, width - 1)
     yi = jnp.clip(feats.uv[:, 1].astype(jnp.int32), 0, height - 1)
     kp_depth = depth[yi, xi]
@@ -294,11 +335,12 @@ def track_rgbd_frame(
         jnp.stack([res.n_matches.astype(f32), res.n_inliers.astype(f32)]),
         res.match_pt.astype(f32),
         res.inlier_kp.astype(f32),
-        feats.uv[:, 0].astype(f32),
-        feats.uv[:, 1].astype(f32),
+        uv_und[:, 0].astype(f32),
+        uv_und[:, 1].astype(f32),
         feats.level.astype(f32),
         kp_depth.astype(f32),
         feats.valid.astype(f32),
+        feats.angle.astype(f32),
     ])
     return pack, feats.desc_u8, feats.desc_pm1
 

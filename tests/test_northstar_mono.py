@@ -52,6 +52,10 @@ def test_northstar_mono_ring_sim3_closure():
                                     max_kp_per_frame=256, max_obs_per_point=8))
     sys_ = SlamSystem(cfg)
     sys_.mono = True
+    # synth.observe descriptors come from the scene points directly (no
+    # viewpoint decay), so the dense keyframing real pixels need (see
+    # SlamSystem.mono_kf_max_gap) would only add 400 redundant keyframes
+    sys_.mono_kf_max_gap = 20
     vocab = train_vocabulary(
         np.asarray(unpack_to_pm1(jnp.asarray(scene.desc_u8[:2048]))),
         np.ones(2048, bool), n_words=128, iters=4)

@@ -77,6 +77,59 @@ def _run_ring(N, laps, blackout, seed=0):
     return sys_, states, frame_err, reloc_calls
 
 
+def test_reloc_kidnapped_gross_pose():
+    """Kidnapped robot: after half a lap of mapping, the camera is teleported
+    to view MAPPED territory upside-down (180-deg roll) from a shifted
+    position. Every relocalization candidate keyframe is upright on the
+    ring, so a pose GN seeded from a candidate's own pose starts ~180 deg
+    from the answer and cannot converge — recovery requires the from-scratch
+    PnP RANSAC seed (upstream Tracking::Relocalization's PnPsolver,
+    reference ``include/ORB_SLAM2/System.h:200-203``)."""
+    scene = synth.make_ring_scene(seed=3)
+    N = 200
+    traj = synth.ring_trajectory(400, radius=3.5, laps=1.0)
+
+    cfg = dataclasses.replace(
+        SlamConfig(), map=MapConfig(max_keyframes=128, max_points=16384,
+                                    max_kp_per_frame=512, max_obs_per_point=8))
+    sys_ = SlamSystem(cfg)
+    vocab = train_vocabulary(
+        np.asarray(unpack_to_pm1(jnp.asarray(scene.desc_u8[:2048]))),
+        np.ones(2048, bool), n_words=128, iters=4)
+    sys_.attach_place_recognition(vocab)
+
+    for i in range(N):
+        obs = synth.observe(scene, traj[i], cfg.camera, max_kp=512,
+                            px_noise=0.8, depth_noise=0.01, seed=1000 + i)
+        sys_.track_features(FrameInput(
+            uv=obs["uv"], level=obs["level"], desc_u8=obs["desc_u8"],
+            desc_pm1=obs["desc_pm1"], valid=obs["valid"], depth=obs["depth"],
+            timestamp=float(i)))
+    assert sys_.state == "OK"
+
+    # kidnap: revisit frame-40 territory, camera rolled 180 deg and pulled
+    # 0.5 m off the ring path
+    roll = np.eye(4, dtype=np.float64)
+    roll[:3, :3] = np.array([[-1, 0, 0], [0, -1, 0], [0, 0, 1]], np.float64)
+    T_kid = roll @ traj[40].copy()
+    T_kid[:3, 3] += np.array([0.1, 0.2, 0.4])
+    gt_rel_kid = T_kid @ np.linalg.inv(traj[0])
+
+    recovered = []
+    for i in range(6):
+        obs = synth.observe(scene, T_kid, cfg.camera, max_kp=512,
+                            px_noise=0.8, depth_noise=0.01, seed=5000 + i)
+        sys_.track_features(FrameInput(
+            uv=obs["uv"], level=obs["level"], desc_u8=obs["desc_u8"],
+            desc_pm1=obs["desc_pm1"], valid=obs["valid"], depth=obs["depth"],
+            timestamp=float(N + i)))
+        recovered.append(sys_.state)
+    assert "OK" in recovered, recovered
+    err = float(np.linalg.norm(_cam_center(sys_.Tcw)
+                               - _cam_center(gt_rel_kid)))
+    assert err < 0.3, err
+
+
 def test_lost_in_unmapped_territory_relocalizes_on_map_reentry():
     """Scenario 1: occlusion mid-exploration. The post-blackout view is
     virgin wall — relocalization CANNOT succeed there (nothing to match),

@@ -38,11 +38,12 @@ def main(n_frames=240):
                       max_kp_per_frame=512, max_obs_per_point=8),
         orb=dataclasses.replace(base.orb, n_features=512))
     cam = cfg.camera
-    N = n_frames
-    traj = synth.ring_trajectory(N, radius=3.5, laps=1.25)
+    N_TRAJ = 240                      # fixed frame spacing regardless of
+    N = min(n_frames, N_TRAJ)         # how many frames we actually run
+    traj = synth.ring_trajectory(N_TRAJ, radius=3.5, laps=1.25)
 
     descs, valids = [], []
-    for i in range(0, N, N // 6):
+    for i in range(0, N_TRAJ, N_TRAJ // 6):
         g, _ = synth.render_ring_textured(traj[i], cam, seed=7 * i)
         f = extract_orb(jnp.asarray(g, jnp.float32), cfg.orb)
         descs.append(np.asarray(f.desc_pm1))
@@ -58,6 +59,17 @@ def main(n_frames=240):
     last_nkf = 0
     last_npt = 0
     t0 = time.time()
+    # wrap _post_track to surface per-frame match/inlier counts
+    orig_post = sys_._post_track
+    frame_stats = {}
+
+    def post(Tcw_pred, Tcw_new, n_match, n_inl, match_pt, inlier_kp, get_fi):
+        frame_stats["m"] = n_match
+        frame_stats["i"] = n_inl
+        return orig_post(Tcw_pred, Tcw_new, n_match, n_inl, match_pt,
+                         inlier_kp, get_fi)
+
+    sys_._post_track = post
     for i in range(N):
         gray, _ = synth.render_ring_textured(
             traj[i], cam, seed=1000 + i, px_noise=2.0, depth_noise=0.01)
@@ -66,13 +78,15 @@ def main(n_frames=240):
             lost += 1
         if sys_.n_kf != last_nkf:
             nvalid = int(sys_.pt_valid.sum())
+            ts = getattr(sys_, "_tri_stats", {})
             print(f"f{i:4d} KF{sys_.n_kf - 1:3d} state={sys_.state} "
                   f"pts_valid={nvalid} (+{nvalid - last_npt}) "
                   f"n_pt={sys_.n_pt} inl={sys_.ref_kf_inliers} "
-                  f"loops={len(lc.loops)}", flush=True)
+                  f"tri={ts} loops={len(lc.loops)}", flush=True)
             last_nkf, last_npt = sys_.n_kf, nvalid
-        elif sys_.state != "OK" and i % 10 == 0:
-            print(f"f{i:4d} state={sys_.state}", flush=True)
+        elif i % 5 == 0 or sys_.state != "OK":
+            print(f"f{i:4d} state={sys_.state} m={frame_stats.get('m')} "
+                  f"i={frame_stats.get('i')}", flush=True)
     print(f"done: {time.time() - t0:.1f}s lost={lost} kf={sys_.n_kf} "
           f"pts={int(sys_.pt_valid.sum())} loops={len(lc.loops)}")
 
