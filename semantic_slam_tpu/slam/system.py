@@ -359,7 +359,8 @@ class SlamSystem:
         repo's synchronous design has nothing to join, so it runs the
         refinement directly)."""
         if self.n_kf >= 2:
-            self.global_bundle_adjust(iters=12)
+            # full point set (reference GBA optimizes every map point)
+            self.global_bundle_adjust(iters=12, max_points=None)
 
     # ------------------------------------------------------------------
     # place recognition / relocalization
@@ -689,7 +690,9 @@ class SlamSystem:
             if getattr(self, "_loop_closer", None) is not None:
                 closed = self._loop_closer.on_keyframe(kf)
                 if closed is not None and getattr(self, "_loop_run_gba", False):
-                    self.global_bundle_adjust()
+                    # RunGlobalBundleAdjustment parity: every valid point
+                    # participates (sharded SPMD program, no subsample)
+                    self.global_bundle_adjust(max_points=None)
             self._touch_map()
 
     def _add_loop_edge(self, i: int, j: int) -> None:

@@ -181,6 +181,27 @@ def format_report(rows: Sequence[RooflineRow]) -> str:
     return "\n".join(lines)
 
 
+def xla_cost(fn: Callable[[], object], fallback_flops: float,
+             fallback_bytes: float) -> tuple:
+    """(flops, bytes) for a zero-arg jittable via XLA's own cost analysis.
+
+    Hand-counting flops for composite programs (a full LM iteration, a
+    CNN forward) is guess-work; the compiler already knows. Falls back to
+    the provided estimates when the backend doesn't expose cost_analysis
+    (some remote transports)."""
+    import jax
+
+    try:
+        ca = jax.jit(fn).lower().compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        fl = float(ca.get("flops", 0.0))
+        by = float(ca.get("bytes accessed", 0.0))
+        return (fl or fallback_flops), (by or fallback_bytes)
+    except Exception:
+        return fallback_flops, fallback_bytes
+
+
 def standard_kernel_suite() -> List[KernelSpec]:
     """Rooflines for the framework's hot kernels (used by tools/roofline)."""
     import numpy as np
@@ -255,4 +276,64 @@ def standard_kernel_suite() -> List[KernelSpec]:
             v, depth_j, jnp.eye(4), intr, voxel_size=0.004,
             trunc_margin=0.02),
         carry=vol))
+
+    # ---- composite programs: flops/bytes from XLA cost analysis ----------
+    # (VERDICT r3: BA iteration, pose-graph iteration, DoN normals and the
+    # Mask R-CNN forward were unmeasured — most of the framework's compute.)
+
+    # Bundle adjustment: one full LM solve at local-BA scale (the dense
+    # camera-Schur program that runs after every keyframe).
+    from ..slam.ba import BAProblem, bundle_adjust
+    Kc, Pp, Oo = 16, 2048, 8
+    pose = jnp.asarray(np.tile(np.eye(4, dtype=np.float32), (Kc, 1, 1)))
+    pts = jnp.asarray(rs.uniform(-1, 1, (Pp, 3)).astype(np.float32)
+                      + np.array([0, 0, 3], np.float32))
+    okf = jnp.asarray(rs.randint(0, Kc, (Pp, Oo)).astype(np.int32))
+    ouv = jnp.asarray(rs.uniform(0, 640, (Pp, Oo, 2)).astype(np.float32))
+    ow = jnp.ones((Pp, Oo), jnp.float32)
+    prob = BAProblem(
+        kf_pose=pose, pt_xyz=pts, obs_kf=okf, obs_uv=ouv, obs_w=ow,
+        cam_fixed=jnp.zeros(Kc, bool).at[0].set(True),
+        pt_valid=jnp.ones(Pp, bool))
+    ba_fn = lambda: bundle_adjust(intr, prob, iters=6, trim_rounds=2).cost
+    ba_fl, ba_by = xla_cost(ba_fn, 3e9, 4e8)
+    specs.append(KernelSpec("ba_lm_16c_2048p", ba_fn,
+                            flops=ba_fl, bytes=ba_by, dtype="f32"))
+
+    # Essential-graph pose optimization: one 24-iteration Sim3 GN at a
+    # 256-node / 1024-edge bucket (the loop-correction hot program).
+    from ..slam.loop import PoseGraphProblem, optimize_pose_graph
+    Kn, Ee = 256, 1024
+    S_kf = jnp.asarray(np.tile(np.eye(4, dtype=np.float32), (Kn, 1, 1)))
+    ei = jnp.asarray(rs.randint(0, Kn, Ee).astype(np.int32))
+    ej = jnp.asarray(((np.asarray(ei) + 1) % Kn).astype(np.int32))
+    pg = PoseGraphProblem(
+        S_kf=S_kf, edge_i=ei, edge_j=ej,
+        S_meas=jnp.asarray(np.tile(np.eye(4, dtype=np.float32),
+                                   (Ee, 1, 1))),
+        edge_w=jnp.ones(Ee, jnp.float32),
+        fixed=jnp.zeros(Kn, bool).at[0].set(True))
+    pg_fn = lambda: optimize_pose_graph(pg, iters=24)
+    pg_fl, pg_by = xla_cost(pg_fn, 1e9, 2e8)
+    specs.append(KernelSpec("posegraph_256n_1024e", pg_fn,
+                            flops=pg_fl, bytes=pg_by, dtype="f32"))
+
+    # DoN front end: two-scale SAT normals + cluster labels on a VGA depth
+    # frame (stage-2's per-keyframe segmentation program).
+    from ..semantic.don import don_extract
+    don_fn = lambda: don_extract(depth_j, intr, 0.05, 0.5, 0.1,
+                                 0.05).cluster_id
+    don_fl, don_by = xla_cost(don_fn, 5e8, 5e7)
+    specs.append(KernelSpec("don_extract_vga", don_fn,
+                            flops=don_fl, bytes=don_by, dtype="f32"))
+
+    # Mask R-CNN forward at the bench contract size (flagship model).
+    from ..models.maskrcnn import MaskRCNN
+    model = MaskRCNN(pre_nms=256, post_nms=64, roi_samples=32)
+    mimg = jnp.asarray(rs.uniform(0, 255, (256, 320, 3)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), mimg)
+    mr_fn = lambda: model.apply(params, mimg)["scores"]
+    mr_fl, mr_by = xla_cost(mr_fn, 2e10, 2e8)
+    specs.append(KernelSpec("maskrcnn_256x320", mr_fn,
+                            flops=mr_fl, bytes=mr_by, dtype="bf16"))
     return specs

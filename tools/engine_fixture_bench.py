@@ -1,0 +1,127 @@
+"""Fixture-scale stage-2 engine benchmark (real TPU).
+
+The bench.py engine section times a toy 8-frame / 16-object loop with oracle
+detections; the reference's actual stage-2 hot loop runs 194 keyframes with
+live Mask R-CNN in the pipeline (``examples/label_instance_rgbd.cpp:77-110``
+— its fr3_office fixture is 194 KFs). This tool drives that scale:
+
+  - 194 rendered keyframes orbiting a 40-box scene (>= 32 concurrent
+    objects alive in the bank),
+  - the TRAINED detector (MaskRCNNDetector checkpoint) running inside an
+    AsyncDetector worker, overlapped with the engine exactly as the driver
+    example does,
+  - both engine variants: enable_tsdf=False and True (per-object TSDF).
+
+Writes artifacts/engine_fixture.json with kf/s + the per-stage split
+(timing_report: don/detect/track/insert/readback/tsdf — the reference's
+step1..6 averages, src/Engine.cpp:267-290).
+
+Run on the real TPU:  python tools/engine_fixture_bench.py [n_kf]
+"""
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax.numpy as jnp
+
+from semantic_slam_tpu.config import (DonConfig, EngineConfig, SlamConfig,
+                                      load_categories)
+from semantic_slam_tpu.geometry import se3_inverse
+from semantic_slam_tpu.io import synth
+from semantic_slam_tpu.semantic import Engine
+from semantic_slam_tpu.semantic.detector import (AsyncDetector,
+                                                 MaskRCNNDetector)
+
+
+def run_variant(n_kf: int, enable_tsdf: bool) -> dict:
+    cfg = SlamConfig()
+    ecfg = dataclasses.replace(
+        cfg,
+        engine=EngineConfig(max_objects=48, max_points_per_object=2048,
+                            min_area=25, max_area=250000,
+                            min_point_count=15, prob_thd=0.5,
+                            min_depth=0.1, max_depth=3.5),
+        don=DonConfig(scale1=0.05, scale2=0.5, threshold=0.1,
+                      segradius=0.05, max_clusters=32))
+    scene = synth.make_shape_scene(40, seed=11)   # >= 32 concurrent objects
+    det = MaskRCNNDetector(max_masks=16, score_threshold=0.5)
+    eng = Engine(load_categories(), ecfg, enable_tsdf=enable_tsdf)
+
+    # pre-render all frames (host-side data prep is not the engine's cost)
+    traj_tcw = synth.orbit_trajectory(n_kf, radius=0.6, look_at=(0, 0, 2.0))
+    traj_twc = np.asarray(se3_inverse(jnp.asarray(traj_tcw)))
+    frames = []
+    t0 = time.perf_counter()
+    for i in range(n_kf):
+        depth, _ = synth.render_scene(scene, traj_twc[i], ecfg.camera)
+        rgb = synth.render_rgb_textured(scene, traj_twc[i], ecfg.camera,
+                                        seed=i)
+        frames.append((rgb, depth, traj_tcw[i]))
+        if i % 32 == 0:
+            print(f"render {i}/{n_kf}", flush=True)
+    render_s = time.perf_counter() - t0
+
+    # warm both pipelines (compile)
+    rgb0, depth0, tcw0 = frames[0]
+    d0 = det.predict(rgb0)
+    eng.run(rgb0, depth0, kf_id=0, Tcw=tcw0, detections=d0)
+    eng.flush()
+    print("warm done", flush=True)
+
+    t0 = time.perf_counter()
+    with AsyncDetector(det, queue_size=2) as adet:
+        pending = []
+        for i, (rgb, depth, tcw) in enumerate(frames):
+            adet.submit(rgb)
+            pending.append((depth, tcw, i))
+            if len(pending) >= 2:
+                depth0, tcw0, k0 = pending.pop(0)
+                eng.run(None, depth0, kf_id=k0 + 1, Tcw=tcw0,
+                        detections=adet.result())
+        while pending:
+            depth0, tcw0, k0 = pending.pop(0)
+            eng.run(None, depth0, kf_id=k0 + 1, Tcw=tcw0,
+                    detections=adet.result())
+        eng.flush()
+    dt = time.perf_counter() - t0
+
+    n_objects = int(np.asarray(eng.bank.obj_valid).sum())
+    return {
+        "n_kf": n_kf,
+        "enable_tsdf": enable_tsdf,
+        "kf_per_s": n_kf / dt,
+        "elapsed_s": round(dt, 2),
+        "prerender_s": round(render_s, 2),
+        "n_objects_final": n_objects,
+        "stage_ms": {k: round(v * 1e3, 3)
+                     for k, v in eng.timing_report().items()},
+    }
+
+
+def main():
+    n_kf = int(sys.argv[1]) if len(sys.argv) > 1 else 194
+    out = {"device": None, "variants": []}
+    import jax
+
+    out["device"] = str(jax.devices()[0])
+    for enable_tsdf in (False, True):
+        print(f"=== variant enable_tsdf={enable_tsdf}", flush=True)
+        out["variants"].append(run_variant(n_kf, enable_tsdf))
+        print(json.dumps(out["variants"][-1]), flush=True)
+    path = os.path.join(os.path.dirname(__file__), "..", "artifacts",
+                        "engine_fixture.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+        f.write("\n")
+    print("wrote", os.path.abspath(path), flush=True)
+
+
+if __name__ == "__main__":
+    main()
