@@ -382,7 +382,10 @@ class LoopCloser:
                                if j >= 0 and s.kf_valid[j] and j != kf_loop]
         fused = 0
         for j in cur_side:
-            fused += s._fuse_into(loop_pts, j, radius=4.0)
+            # force_obs: a full observation table must not silently drop
+            # the cross-loop factor (it evicts a redundant odometry
+            # observation instead — see SlamSystem._add_observation)
+            fused += s._fuse_into(loop_pts, j, radius=4.0, force_obs=True)
         if fused:
             for j in cur_side:
                 s._update_covisibility(j)

@@ -1214,12 +1214,34 @@ class SlamSystem:
         n = self.pt_obs_n[p]
         return bool((self.pt_obs_kf[p, :n] == j).any())
 
-    def _add_observation(self, p: int, j: int, kp: int) -> None:
+    def _add_observation(self, p: int, j: int, kp: int,
+                         force: bool = False) -> None:
+        """Bind keyframe j's keypoint kp to point p.
+
+        When the O-slot table is full a plain add is dropped. ``force=True``
+        (the SearchAndFuse path) evicts the most REDUNDANT existing
+        observation instead: the non-reference slot whose keyframe is
+        closest in time to another observation — cross-loop factors are
+        what keep a closed loop closed under later bundle adjustment
+        (without them GBA sees only odometry-consistent terms and relaxes
+        the loop), while one of 8 consecutive odometry observations is
+        nearly information-free. Slot 0 is never evicted: it anchors the
+        point-correction reference in LoopCloser._correct."""
         n = self.pt_obs_n[p]
         if n < self.O:
             self.pt_obs_kf[p, n] = j
             self.pt_obs_kp[p, n] = kp
             self.pt_obs_n[p] = n + 1
+            return
+        if not force:
+            return
+        ts = self.kf_timestamps[np.clip(self.pt_obs_kf[p], 0, self.K - 1)]
+        gaps = np.abs(ts[:, None] - ts[None, :])
+        np.fill_diagonal(gaps, np.inf)
+        redundancy = gaps.min(axis=1)          # small gap = redundant
+        slot = int(np.argmin(redundancy[1:])) + 1      # never slot 0
+        self.pt_obs_kf[p, slot] = j
+        self.pt_obs_kp[p, slot] = kp
 
     def _replace_point(self, loser: int, winner: int) -> None:
         """MapPoint::Replace semantics: merge the loser's observations and
@@ -1234,7 +1256,8 @@ class SlamSystem:
         self._free_points(np.asarray([loser]))
 
     def _fuse_into(self, src_pts: np.ndarray, j: int,
-                   radius: float = 3.0, max_dist: int = 50) -> int:
+                   radius: float = 3.0, max_dist: int = 50,
+                   force_obs: bool = False) -> int:
         """Project map points `src_pts` into keyframe j; matched keypoints
         already bound to another point trigger a fuse (keep the
         better-observed point), unbound ones gain an observation.
@@ -1292,7 +1315,7 @@ class SlamSystem:
                 kp_map[kp] = w
                 n_fused += 1
             elif not self._observes(p, j):
-                self._add_observation(p, j, kp)
+                self._add_observation(p, j, kp, force=force_obs)
                 kp_map[kp] = p
         return n_fused
 
