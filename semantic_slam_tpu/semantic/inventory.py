@@ -80,3 +80,17 @@ class Inventory:
         if all_pts:
             write_ply(os.path.join(out_dir, "objects.ply"),
                       np.concatenate(all_pts), np.concatenate(all_rgb))
+
+
+def load_object_points(path: str):
+    """Read one saved object file back: (label, score, xyz [N, 3]).
+
+    Parity with the reference's MATLAB analysis reader
+    (``src/matlab/loadObject.m:1-26``, which feeds ``txt2mat.m``): header
+    line ``label score`` followed by whitespace xyz rows — the exact
+    ``Object::SaveToFile`` format (``src/Object.cpp:105-136``)."""
+    with open(path) as f:
+        header = f.readline().split()
+    label, score = header[0], float(header[1])
+    xyz = np.loadtxt(path, skiprows=1, dtype=np.float64).reshape(-1, 3)
+    return label, score, xyz

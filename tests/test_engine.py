@@ -111,3 +111,10 @@ def test_engine_save_objects(tmp_path):
         row = f.readline().split()
         assert len(row) == 3
     assert "objects.ply" in files
+    # loadObject.m-parity reader roundtrips the same file
+    from semantic_slam_tpu.semantic.inventory import load_object_points
+
+    label, score, xyz = load_object_points(str(out / txts[0]))
+    assert label == header[0] and abs(score - float(header[1])) < 1e-9
+    assert xyz.ndim == 2 and xyz.shape[1] == 3 and len(xyz) >= 1
+    assert np.allclose(xyz[0], [float(v) for v in row])

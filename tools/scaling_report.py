@@ -71,6 +71,14 @@ def build_report(n=None):
                         "identical total work; lower is better — see module "
                         "docstring for why virtual-device speedup is not "
                         "measurable on a shared core pool)",
+              "SCOPE": ("VIRTUAL devices on one shared host-core pool: this "
+                        "artifact bounds SPMD partitioning/collective "
+                        "OVERHEAD only. It is NOT evidence of multi-chip "
+                        "speedup or of any N-host scaling efficiency — "
+                        "negative 'overhead' here is core-pool scheduling "
+                        "noise. Real-scaling claims require real chips, "
+                        "which this environment does not have (one TPU via "
+                        "tunnel); see BASELINE.md targets."),
               "sections": {}}
 
     def meshes():
