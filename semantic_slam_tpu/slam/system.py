@@ -1096,7 +1096,18 @@ class SlamSystem:
         pt_sel = np.nonzero(self.pt_valid & (self.pt_obs_n >= 2))[0]
         sharded = max_points is None
         if sharded:
-            ndev = len(jax.devices())
+            # mesh width for the sharded program. Default 1: the program is
+            # identical (every point participates; collectives are no-ops)
+            # and one-device execution avoids the XLA-CPU virtual-device
+            # collective rendezvous, which deadlocked under the full test
+            # suite's cumulative thread load (96 tests in, the 8-virtual-
+            # device psum stalled in futex_wait indefinitely — a test-
+            # environment co-scheduling fragility, not a TPU-pod concern).
+            # Multi-device operation is exercised explicitly where it is
+            # the point: tests/test_gba_fixture.py, test_ba_shard.py, and
+            # dryrun_multichip set _gba_ndev; a pod deployment sets it to
+            # the real mesh size.
+            ndev = getattr(self, "_gba_ndev", 1) or 1
             gran = 1024 * ndev
             Pl = max(gran, -(-len(pt_sel) // gran) * gran)
             Kb = -(-K // 64) * 64
