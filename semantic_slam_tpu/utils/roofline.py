@@ -328,11 +328,14 @@ def standard_kernel_suite() -> List[KernelSpec]:
                             flops=don_fl, bytes=don_by, dtype="f32"))
 
     # Mask R-CNN forward at the bench contract size (flagship model).
+    # MUST be jitted: a raw Flax apply dispatches every op individually
+    # through the remote tunnel and measures the transport (~1.2 s/call),
+    # not the device (~1.6 ms jitted).
     from ..models.maskrcnn import MaskRCNN
     model = MaskRCNN(pre_nms=256, post_nms=64, roi_samples=32)
     mimg = jnp.asarray(rs.uniform(0, 255, (256, 320, 3)).astype(np.float32))
     params = model.init(jax.random.PRNGKey(0), mimg)
-    mr_fn = lambda: model.apply(params, mimg)["scores"]
+    mr_fn = jax.jit(lambda: model.apply(params, mimg)["scores"])
     mr_fl, mr_by = xla_cost(mr_fn, 2e10, 2e8)
     specs.append(KernelSpec("maskrcnn_256x320", mr_fn,
                             flops=mr_fl, bytes=mr_by, dtype="bf16"))
