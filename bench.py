@@ -6,6 +6,12 @@ Prints ONE JSON line:
 Headline metric: stage-1 tracking throughput (ORB extraction + map tracking,
 the reference's per-frame hot loop which it paces to the dataset's 30 Hz —
 reference ``examples/rgbd_tum.cpp:109-117``). vs_baseline = fps / 30.
+Round-4 note: ~289 fps vs round 3's ~409 — the deliberate cost of two-stage
+tracking (TrackWithMotionModel THEN TrackLocalMap re-projection, upstream
+parity): a second Hamming match + pose GN per frame. The single-pass design
+collapsed on monocular sequences (20 matches from a 700-point visible map
+once the motion model drifted half a window); 9.6x the reference's 30 fps
+real-time bar is the right side of that trade.
 
 Secondary metrics (TSDF Mvoxel/s, DoN segmentation fps, Mask R-CNN fps,
 engine keyframes/s, Hamming matcher rate) go to bench_details.json.
