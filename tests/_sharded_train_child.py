@@ -21,6 +21,8 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 import optax  # noqa: E402
