@@ -56,6 +56,7 @@ def match_descriptors(
     valid1: jnp.ndarray,
     valid2: jnp.ndarray,
     mask: Optional[jnp.ndarray] = None,
+    dist_matrix: Optional[jnp.ndarray] = None,
     *,
     max_dist: int = TH_LOW,
     ratio: float = 0.9,
@@ -65,8 +66,13 @@ def match_descriptors(
 
     mask: optional [N1, N2] bool of *allowed* pairs (spatial window / scale
     gates); disallowed pairs are treated as infinitely far.
+    dist_matrix: optional precomputed [N1, N2] Hamming distances — descriptor
+    distances are pose-independent, so multi-stage trackers compute the MXU
+    matmul once and re-mask it per stage.
     """
-    D = hamming_matrix(desc1_pm1, desc2_pm1).astype(jnp.float32)
+    if dist_matrix is None:
+        dist_matrix = hamming_matrix(desc1_pm1, desc2_pm1)
+    D = dist_matrix.astype(jnp.float32)
     allowed = valid1[:, None] & valid2[None, :]
     if mask is not None:
         allowed = allowed & mask
@@ -117,7 +123,12 @@ def rotation_consistency(angle1: jnp.ndarray, angle2: jnp.ndarray,
     bins = jnp.floor(da / (2.0 * jnp.pi) * n_bins).astype(jnp.int32) % n_bins
     counts = jnp.sum(jax.nn.one_hot(bins, n_bins, dtype=jnp.int32)
                      * matched[:, None], axis=0)
-    _, top_bins = jax.lax.top_k(counts, keep_bins)
-    in_top = jnp.any(bins[:, None] == top_bins[None, :], axis=-1)
+    top_counts, top_bins = jax.lax.top_k(counts, keep_bins)
+    # ORBmatcher::CheckOrientation drops bins 2/3 when their count is below
+    # 0.1x the max: on rotation-consistent frames two near-empty bins must
+    # not re-admit off-bin outliers
+    bin_ok = top_counts.astype(jnp.float32) >= 0.1 * top_counts[0]
+    in_top = jnp.any((bins[:, None] == top_bins[None, :]) & bin_ok[None, :],
+                     axis=-1)
     idx = jnp.where(matched & in_top, match.idx, INVALID)
     return MatchResult(idx=idx, dist=match.dist)

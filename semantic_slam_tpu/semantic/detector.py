@@ -20,10 +20,12 @@ import numpy as np
 
 class Detections(NamedTuple):
     boxes: np.ndarray    # [M, 4] (x, y, w, h) float32
-    masks: np.ndarray    # [M, H, W] bool
+    masks: np.ndarray    # [M, H, W] bool — host np OR device jnp (the
+                         # MaskRCNNDetector fast path keeps masks on device;
+                         # consumers that need host pixels np.asarray them)
     labels: np.ndarray   # [M] int32 COCO category id
     scores: np.ndarray   # [M] float32
-    valid: np.ndarray    # [M] bool
+    valid: np.ndarray    # [M] bool (host)
 
 
 def pad_detections(boxes, masks, labels, scores, max_masks: int) -> Detections:
@@ -146,29 +148,39 @@ class MaskRCNNDetector:
         self.score_threshold = score_threshold
         self._infer = None
 
-    def predict(self, rgb: np.ndarray) -> Detections:
+    def predict(self, rgb: np.ndarray, device_masks: bool = True) -> Detections:
+        """Detections for one image.
+
+        device_masks=True (default): masks stay ON DEVICE (jnp bool
+        [M, H, W]) and only the small fields come back to the host in ONE
+        batched device_get — the remote-transport-friendly contract (the
+        engine consumes device masks directly). device_masks=False restores
+        the all-NumPy legacy contract (host masks, score-compacted rows).
+        """
+        import jax
         import jax.numpy as jnp
 
-        from semantic_slam_tpu.models.maskrcnn import run_inference
+        from semantic_slam_tpu.models.maskrcnn import run_inference_fullres
 
-        rgb = np.asarray(rgb, np.float32)
+        rgb = np.asarray(rgb)
         H, W = rgb.shape[:2]
-        sy = sx = 1
+        pool = 1
         if self.infer_hw is not None:
             th, tw = self.infer_hw
             if H % th == 0 and W % tw == 0 and (H // th) == (W // tw):
-                sy, sx = H // th, W // tw
-                if sy > 1:
-                    rgb = rgb.reshape(th, sy, tw, sx, 3).mean((1, 3))
-        out = run_inference(self.model, self.params, jnp.asarray(rgb),
-                            max_detections=self.max_masks)
-        boxes = np.asarray(out["boxes"]) * (sx, sy, sx, sy)
-        masks = np.asarray(out["masks"]) > 0.5
-        if sy > 1:
-            masks = np.repeat(np.repeat(masks, sy, axis=1), sx, axis=2)
-        labels = np.asarray(out["labels"])
-        scores = np.asarray(out["scores"]) * np.asarray(out["valid"])
-        keep = scores >= self.score_threshold
+                pool = H // th
+        out = run_inference_fullres(
+            self.model, self.params, jnp.asarray(rgb, jnp.uint8),
+            max_detections=self.max_masks, pool=pool)
+        boxes, labels, scores, valid = jax.device_get(
+            [out["boxes"], out["labels"], out["scores"], out["valid"]])
+        scores = scores * valid
+        keep = scores >= self.score_threshold      # rows stay score-sorted
+        if device_masks:
+            return Detections(boxes=boxes.astype(np.float32),
+                              masks=out["masks"], labels=labels,
+                              scores=scores.astype(np.float32), valid=keep)
+        masks = np.asarray(out["masks"])
         return pad_detections(boxes[keep], masks[keep], labels[keep],
                               scores[keep], self.max_masks)
 

@@ -110,10 +110,19 @@ class Engine:
 
         # ---- one fused program, one readback ------------------------------
         t0 = time.perf_counter()
-        masks_np = np.asarray(detections.masks)
+        if isinstance(detections.masks, jax.Array):
+            # detector fast path: masks are already device-resident bool —
+            # no host download / packbits / re-upload round trip
+            masks_arg = detections.masks & jnp.asarray(det_valid)[:, None, None]
+            packed = False
+        else:
+            masks_np = np.asarray(detections.masks)
+            masks_arg = jnp.asarray(
+                np.packbits(masks_np.astype(bool), axis=-1))
+            packed = True
         batch = O.keyframe_phase_ab(
             self.bank, Tcw_j, depth_j, self.intr,
-            jnp.asarray(np.packbits(masks_np.astype(bool), axis=-1)),
+            masks_arg,
             jnp.asarray(np.asarray(detections.labels), jnp.int32),
             jnp.asarray(np.asarray(detections.scores), jnp.float32),
             jnp.asarray(det_valid),
@@ -126,14 +135,16 @@ class Engine:
             erode_radius=self._erode_r,
             width=self.cfg.camera.width, height=self.cfg.camera.height,
             sensor=e.sensor, res_radius=self._res_r, max_new=1024,
-            masks_packed=True)
+            masks_packed=packed)
         self.bank = batch.bank
         self._pending.append((batch.pack, detections, kf_id,
                               np.asarray(Tcw), depth_j, Tcw_j))
         self.timing["track"].append(time.perf_counter() - t0)
-        # per-object TSDF needs the resolved slot ids now; the viewer reads
-        # the inventory; otherwise let keyframes stream and flush lazily
-        if (self.enable_tsdf or self.viewer is not None
+        # the viewer reads the inventory now; otherwise let keyframes stream
+        # and flush lazily (per-object TSDF work is deferred too — the
+        # integrates dispatch in a burst at flush time, after the ONE
+        # batched pack readback resolves the slot ids)
+        if (self.viewer is not None
                 or len(self._pending) >= self._max_pending):
             self.flush()
 
@@ -168,12 +179,6 @@ class Engine:
                 if rows[i, 1] < 0.5:                     # not processed
                     continue
                 oidx = int(rows[i, 0])
-                if self.enable_tsdf:
-                    tt = time.perf_counter()
-                    self._integrate_tsdf(
-                        oidx, jnp.asarray(detections.masks[i]),
-                        depth_j, Tcw_j)
-                    self.timing["tsdf"].append(time.perf_counter() - tt)
                 if rows[i, 3] > 0.5:                     # kept
                     self.inventory.observe(
                         oidx, kf_id, int(detections.labels[i]),
@@ -182,6 +187,18 @@ class Engine:
                         hu=rows[i, 4:11].copy(),
                         centroid=rows[i, 11:13].copy())
             self.timing["insert"].append(time.perf_counter() - t0)
+            if self.enable_tsdf:
+                # per-mask integrates dispatch back-to-back (they pipeline);
+                # masks index straight into the (possibly device-resident)
+                # detection array — no host round trip
+                tt = time.perf_counter()
+                for i in range(M):
+                    if rows[i, 1] < 0.5:
+                        continue
+                    self._integrate_tsdf(
+                        int(rows[i, 0]), jnp.asarray(detections.masks[i]),
+                        depth_j, Tcw_j)
+                self.timing["tsdf"].append(time.perf_counter() - tt)
 
     def track_by_contours(self, mask: jnp.ndarray, label: int, score: float,
                           Tcw: np.ndarray,
@@ -278,10 +295,12 @@ class Engine:
         Twc = se3_inverse(Tcw_j)
         if oidx not in self.tsdf_vols:
             origin = origin_from_depth(masked, self.intr)
-            # np copy: the volume donates on integrate, so base2world must
-            # not alias the cam2world argument buffer
+            # device copy (jnp.array): the volume donates on integrate, so
+            # base2world must not alias the cam2world argument buffer; a
+            # host np.asarray round trip here would block ~30 ms per new
+            # object through a remote transport
             self.tsdf_vols[oidx] = tsdf_blocked_create(
-                np.asarray(origin), np.asarray(Twc), dim=t.dim, block=8)
+                origin, jnp.array(Twc), dim=t.dim, block=8)
         self.tsdf_vols[oidx] = tsdf_integrate_blocked(
             self.tsdf_vols[oidx], masked, Twc, self.intr,
             voxel_size=t.voxel_size, trunc_margin=t.trunc_margin,

@@ -91,6 +91,9 @@ def load_object_points(path: str):
     ``Object::SaveToFile`` format (``src/Object.cpp:105-136``)."""
     with open(path) as f:
         header = f.readline().split()
-    label, score = header[0], float(header[1])
+    # Object::SaveToFile writes msLabel verbatim, so a label containing a
+    # space produces >2 header tokens — the score is always the LAST token
+    *label_parts, score = header
+    label, score = " ".join(label_parts), float(score)
     xyz = np.loadtxt(path, skiprows=1, dtype=np.float64).reshape(-1, 3)
     return label, score, xyz

@@ -52,7 +52,9 @@ class TwoViewInit(NamedTuple):
     good: jnp.ndarray         # [M] bool: passes cheirality/parallax/reproj
     n_good: jnp.ndarray       # [] int32 good count of the winning chamber
     n_good_second: jnp.ndarray  # [] int32 runner-up chamber good count
-    n_inliers: jnp.ndarray    # [] int32 winner's model-inlier support count
+    n_candidate_matches: jnp.ndarray  # [] int32 matches the winner was
+                              # scored over (the full valid set, not its
+                              # epipolar support — see _phase note below)
     parallax_deg: jnp.ndarray  # [] ~50th-largest good-point parallax (deg)
     median_depth: jnp.ndarray  # [] median z of good points (scale anchor)
 
@@ -314,7 +316,7 @@ def two_view_init(intr: Intrinsics, uv1: jnp.ndarray, uv2: jnp.ndarray,
         score_f=score_f, score_h=score_h,
         R=Rs[winner], t=ts[winner], pts1=pts[winner], good=good_c[winner],
         n_good=n_good, n_good_second=n_good_second,
-        n_inliers=jnp.sum(cand_inl[winner]),
+        n_candidate_matches=jnp.sum(cand_inl[winner]),
         parallax_deg=parallax_deg,
         median_depth=jnp.nanmedian(jnp.where(good_c[winner],
                                              pts[winner, :, 2], jnp.nan)))

@@ -194,7 +194,17 @@ class SlamSystem:
         if sys_.kf_order:
             sys_.Tcw = sys_.kf_pose[sys_.kf_order[-1]].copy()
             sys_.last_kf_id = sys_.kf_order[-1]
-            sys_.state = "OK"
+            # track_with_map matches against pt_desc_pm1, not the packed u8
+            # descriptors — derive it here or every Hamming distance reads
+            # as 128 (> any gate) and LoadMap-then-continue silently matches
+            # nothing. Fixture bundles carry no descriptors at all; then the
+            # system must relocalize before it can track.
+            if np.any(sys_.pt_desc):
+                sys_.pt_desc_pm1[...] = np.asarray(
+                    unpack_to_pm1(jnp.asarray(sys_.pt_desc)))
+                sys_.state = "OK"
+            else:
+                sys_.state = "LOST"
         sys_._touch_map()
         return sys_
 
@@ -1247,6 +1257,12 @@ class SlamSystem:
         if not force:
             return
         ts = self.kf_timestamps[np.clip(self.pt_obs_kf[p], 0, self.K - 1)]
+        if np.ptp(ts) <= 0:
+            # drivers that never pass timestamps leave them all 0.0, which
+            # would degrade "most redundant" to fixed-slot eviction — fall
+            # back to keyframe insertion-order spacing (frame ids)
+            ts = self.kf_frame_id[
+                np.clip(self.pt_obs_kf[p], 0, self.K - 1)].astype(np.float64)
         gaps = np.abs(ts[:, None] - ts[None, :])
         np.fill_diagonal(gaps, np.inf)
         redundancy = gaps.min(axis=1)          # small gap = redundant

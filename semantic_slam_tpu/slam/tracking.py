@@ -173,31 +173,42 @@ def track_with_map(
     collapses (20 matches from a 700-point visible map) the moment the
     prediction drifts half a window. The stage-2 result is kept only when
     it does not lose inliers (a diverged stage 1 must not poison stage 2).
-    Both stages are in ONE jitted program: the extra Hamming matmul + GN is
-    ~free on the MXU next to a dispatch boundary.
+    Both stages are in ONE jitted program, and the expensive
+    pose-INDEPENDENT work — candidate compaction, the [C, 256] descriptor
+    gather, and the [C, N] Hamming matmul — is computed once and shared:
+    stage 2 only re-projects the candidate set with the refined pose and
+    re-masks the same distance matrix (the r4 always-on second stage cost
+    ~1.4x a single pass; shared-gather brings it back near 1x).
     """
     P = pt_xyz.shape[0]
     C = min(max_candidates, P)
     N = kp_uv.shape[0]
     from semantic_slam_tpu.ops.compact import compact_indices
+    from semantic_slam_tpu.ops.match import hamming_matrix
+
+    # ---- shared, pose-independent stage -------------------------------
+    pc = transform_points(Tcw_pred[None], pt_xyz[None])[0]
+    uv_proj0, z0 = project(intr, pc)
+    visible = pt_valid & (z0 > 0.05) & in_image(uv_proj0, width, height,
+                                                margin=5)
+    cand, cvis = compact_indices(visible, C)
+    cdesc = pt_desc_pm1[cand]
+    cxyz = pt_xyz[cand]
+    D = hamming_matrix(cdesc, kp_desc_pm1)                       # [C, N]
+    # scale-aware search window (ORB-SLAM2 SearchByProjection: radius
+    # grows as th * scaleFactor^octave — the keypoint's pyramid level
+    # sets the localization uncertainty; knobs config/TUM3.yaml:41-54)
+    kp_rbase = 1.2 ** kp_level.astype(jnp.float32)               # [N]
+    inv_sigma2_kp = 1.0 / kp_rbase ** 2
 
     def one_pass(Tcw0, rad):
-        pc = transform_points(Tcw0[None], pt_xyz[None])[0]
-        uv_proj, z = project(intr, pc)
-        visible = pt_valid & (z > 0.05) & in_image(uv_proj, width, height,
-                                                   margin=5)
-        cand, cvis = compact_indices(visible, C)
-        cdesc = pt_desc_pm1[cand]
-        cxyz = pt_xyz[cand]
-        cuv = uv_proj[cand]
-        # scale-aware search window (ORB-SLAM2 SearchByProjection: radius
-        # grows as th * scaleFactor^octave — the keypoint's pyramid level
-        # sets the localization uncertainty; knobs config/TUM3.yaml:41-54)
-        kp_r = rad * 1.2 ** kp_level.astype(jnp.float32)         # [N]
+        cuv, cz = project(intr, transform_points(Tcw0[None], cxyz[None])[0])
+        cvis_now = cvis & (cz > 0.05) & in_image(cuv, width, height,
+                                                 margin=5)
         d2 = jnp.sum((cuv[:, None, :] - kp_uv[None, :, :]) ** 2, axis=-1)
-        mask = d2 <= kp_r[None, :] ** 2
-        res = match_descriptors(cdesc, kp_desc_pm1, cvis, kp_valid,
-                                mask, max_dist=max_dist, ratio=0.95,
+        mask = d2 <= (rad * kp_rbase)[None, :] ** 2
+        res = match_descriptors(cdesc, kp_desc_pm1, cvis_now, kp_valid,
+                                mask, D, max_dist=max_dist, ratio=0.95,
                                 mutual=True)
         if use_rotation:
             # ORB-SLAM2 CheckOrientation: the angle delta between a map
@@ -208,8 +219,7 @@ def track_with_map(
         matched = res.idx >= 0                                   # [C]
         kp_idx = jnp.clip(res.idx, 0, None)
         uv_obs = kp_uv[kp_idx]
-        inv_sigma2 = 1.0 / (1.2 ** (2.0 *
-                                    kp_level[kp_idx].astype(jnp.float32)))
+        inv_sigma2 = inv_sigma2_kp[kp_idx]
         opt = pose_optimize(intr, Tcw0, cxyz, uv_obs, matched, inv_sigma2)
         # per-keypoint view of the matching (for host map bookkeeping)
         match_pt = jnp.full((N,), -1, jnp.int32)

@@ -31,6 +31,7 @@ def test_engine_tsdf_reconstruction(tmp_path):
         dets = det.predict(traj_twc[i])
         eng.run(None, depth, kf_id=i, Tcw=traj_tcw[i], detections=dets)
 
+    eng.flush()     # TSDF integrates are deferred to the flush boundary
     assert len(eng.tsdf_vols) >= 1
     oidx, vol = next(iter(eng.tsdf_vols.items()))
     w = np.asarray(vol.weight)
