@@ -40,21 +40,15 @@ from semantic_slam_tpu.semantic.detector import (AsyncDetector,
                                                  MaskRCNNDetector)
 
 
-def run_variant(n_kf: int, enable_tsdf: bool) -> dict:
-    cfg = SlamConfig()
-    ecfg = dataclasses.replace(
-        cfg,
-        engine=EngineConfig(max_objects=48, max_points_per_object=2048,
-                            min_area=25, max_area=250000,
-                            min_point_count=15, prob_thd=0.5,
-                            min_depth=0.1, max_depth=3.5),
-        don=DonConfig(scale1=0.05, scale2=0.5, threshold=0.1,
-                      segradius=0.05, max_clusters=32))
-    scene = synth.make_shape_scene(40, seed=11)   # >= 32 concurrent objects
-    det = MaskRCNNDetector(max_masks=16, score_threshold=0.5)
-    eng = Engine(load_categories(), ecfg, enable_tsdf=enable_tsdf)
+_FRAME_CACHE = {}
 
-    # pre-render all frames (host-side data prep is not the engine's cost)
+
+def _frames(n_kf: int, ecfg):
+    """Pre-render all frames once per process (host-side data prep is not
+    the engine's cost; rendering 194 frames twice cost ~11 min/variant)."""
+    if n_kf in _FRAME_CACHE:
+        return _FRAME_CACHE[n_kf]
+    scene = synth.make_shape_scene(40, seed=11)   # >= 32 concurrent objects
     traj_tcw = synth.orbit_trajectory(n_kf, radius=0.6, look_at=(0, 0, 2.0))
     traj_twc = np.asarray(se3_inverse(jnp.asarray(traj_tcw)))
     frames = []
@@ -66,7 +60,23 @@ def run_variant(n_kf: int, enable_tsdf: bool) -> dict:
         frames.append((rgb, depth, traj_tcw[i]))
         if i % 32 == 0:
             print(f"render {i}/{n_kf}", flush=True)
-    render_s = time.perf_counter() - t0
+    _FRAME_CACHE[n_kf] = (frames, time.perf_counter() - t0)
+    return _FRAME_CACHE[n_kf]
+
+
+def run_variant(n_kf: int, enable_tsdf: bool) -> dict:
+    cfg = SlamConfig()
+    ecfg = dataclasses.replace(
+        cfg,
+        engine=EngineConfig(max_objects=48, max_points_per_object=2048,
+                            min_area=25, max_area=250000,
+                            min_point_count=15, prob_thd=0.5,
+                            min_depth=0.1, max_depth=3.5),
+        don=DonConfig(scale1=0.05, scale2=0.5, threshold=0.1,
+                      segradius=0.05, max_clusters=32))
+    det = MaskRCNNDetector(max_masks=16, score_threshold=0.5)
+    eng = Engine(load_categories(), ecfg, enable_tsdf=enable_tsdf)
+    frames, render_s = _frames(n_kf, ecfg)
 
     # warm both pipelines (compile)
     rgb0, depth0, tcw0 = frames[0]
