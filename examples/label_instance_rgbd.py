@@ -40,6 +40,14 @@ def main():
                          "compact one; pass semantic_slam_tpu/data/"
                          "maskrcnn_full.npz for the contract-size R-50-FPN)")
     ap.add_argument("--viz", action="store_true")
+    ap.add_argument("--ndev", type=int, default=1,
+                    help="keyframe data parallelism: shard the engine's "
+                         "per-keyframe perception work over the first NDEV "
+                         "devices (chunk-snapshot semantics; see "
+                         "semantic/objects.keyframe_chunk_phase)")
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="process keyframes in fused chunks of this size "
+                         "on ONE device (0 = sequential per-keyframe)")
     args = ap.parse_args()
 
     from semantic_slam_tpu.config import SlamConfig, load_categories
@@ -50,6 +58,18 @@ def main():
         else SlamConfig()
     cats = load_categories(args.categories if os.path.exists(args.categories)
                            else None)
+
+    mesh = None
+    chunk = max(0, args.chunk)
+    if args.ndev > 1:
+        import jax
+        from semantic_slam_tpu.parallel.mesh import make_mesh
+        assert args.ndev <= len(jax.devices()), \
+            f"--ndev {args.ndev} > {len(jax.devices())} devices"
+        mesh = make_mesh(args.ndev)
+        chunk = max(chunk, args.ndev)
+        if chunk % args.ndev:
+            chunk = args.ndev * -(-chunk // args.ndev)
 
     if args.synthetic:
         from semantic_slam_tpu.io import synth
@@ -66,6 +86,7 @@ def main():
         traj_tcw = synth.orbit_trajectory(args.synthetic, radius=0.3,
                                           look_at=(0, 0, 2.0))
         traj_twc = np.asarray(se3_inverse(jnp.asarray(traj_tcw)))
+        batch = []
         for i in range(len(traj_tcw)):
             depth, _ = synth.render_depth(scene, traj_twc[i], cfg.camera)
             if args.model:
@@ -75,7 +96,17 @@ def main():
             else:
                 dets = det.predict(traj_twc[i])
             print(f"KF {i}: {int(dets.valid.sum())} detections")
-            engine.run(None, depth, kf_id=i, Tcw=traj_tcw[i], detections=dets)
+            if chunk:
+                batch.append((i, depth, traj_tcw[i], dets))
+                if len(batch) == chunk:
+                    engine.run_chunk(batch, mesh=mesh)
+                    batch = []
+            else:
+                engine.run(None, depth, kf_id=i, Tcw=traj_tcw[i],
+                           detections=dets)
+        if batch:
+            # tail chunk: single-device fused path (any length)
+            engine.run_chunk(batch)
     else:
         from semantic_slam_tpu.io import mapio
         from semantic_slam_tpu.io.datasets import (

@@ -275,7 +275,14 @@ def tsdf_integrate_blocked(
     free = (all_zpos & fully_in & small_rect & (dmin_b > 0)
             & (dmax_b <= max_depth) & (z_max < dmin_b - trunc_margin))
     behind = all_zpos & small_rect & (z_min > dmax_b + trunc_margin)
-    skip = behind | (fully_out & all_zpos)
+    # no-valid-depth skip: every pixel in the block's footprint is invalid
+    # (depth 0) so no voxel can update (ok requires dv > 0). This is THE
+    # load-bearing class for per-object MASKED depth (Engine.cpp:192-193
+    # mask-multiplied images): without it every block whose footprint
+    # touches a masked-out pixel classifies mixed and the exact path's cap
+    # saturates on a frame that mostly updates nothing.
+    no_depth = all_zpos & small_rect & (dmax_b <= 0)
+    skip = behind | no_depth | (fully_out & all_zpos)
     mixed = ~free & ~skip
 
     # ---- dense free-space pass (block layout: one [nb^3, 1] broadcast) --
@@ -330,6 +337,44 @@ def tsdf_integrate_blocked(
 
     return TsdfVolume(tsdf=ts_b, weight=wt_b,
                       origin=vol.origin, base2world=vol.base2world)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,),
+                   static_argnames=("voxel_size", "trunc_margin", "max_depth",
+                                    "block", "max_mixed", "mip_shift"))
+def tsdf_integrate_masked_seq(
+    vol: TsdfVolume,
+    masks: jnp.ndarray,          # [T, H, W] bool
+    depths: jnp.ndarray,         # [T, H, W] metric depth
+    cam2worlds: jnp.ndarray,     # [T, 4, 4]
+    valid: jnp.ndarray,          # [T] bool (padding gate)
+    intr: Intrinsics,
+    *,
+    voxel_size: float = 0.004,
+    trunc_margin: float = 0.02,
+    max_depth: float = 6.0,
+    block: int = 8,
+    max_mixed: int = 2048,
+    mip_shift: int = 6,
+) -> TsdfVolume:
+    """A SEQUENCE of masked-depth integrates into one blocked volume as ONE
+    program (lax.scan): the flush-time replacement for T separate
+    ``tsdf_integrate_blocked(vol, where(mask, depth, 0), ...)`` dispatches —
+    per-object TSDF work for a whole deferred-keyframe window costs one
+    dispatch per object instead of one per (object, keyframe). Invalid rows
+    (padding) are no-ops, so callers bucket T."""
+
+    def step(v, x):
+        m, d, c2w, ok = x
+        md = jnp.where(m & ok, d, 0.0)
+        v2 = tsdf_integrate_blocked(
+            v, md, c2w, intr, voxel_size=voxel_size,
+            trunc_margin=trunc_margin, max_depth=max_depth, block=block,
+            max_mixed=max_mixed, mip_shift=mip_shift)
+        return v2, None
+
+    vol, _ = jax.lax.scan(step, vol, (masks, depths, cam2worlds, valid))
+    return vol
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1),

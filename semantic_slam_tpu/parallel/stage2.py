@@ -116,6 +116,72 @@ def object_evidence_batch(mesh: Mesh, bank: O.ObjectBank,
 
 
 @functools.lru_cache(maxsize=64)
+def _chunk_prog(mesh: Mesh, n_clusters_cap: int, erode_radius: int,
+                width: int, height: int, sensor: int, max_new: int):
+    def shard_fn(bank, Tcws, depths, masks, labels, scores, det_valid,
+                 cluster_ids, n_clusters, color_table, scalars, intr):
+        (prob_thd, min_depth, max_depth, min_area, max_area,
+         min_point_count, score_margin, overlap_thd) = scalars
+        per = jax.vmap(lambda T, d, m, l, s, v, c, n: O.chunk_perkf(
+            bank, T, d, intr, m, l, s, v, c, n, prob_thd, min_depth,
+            max_depth, min_area, max_area, min_point_count, score_margin,
+            overlap_thd, n_clusters_cap=n_clusters_cap,
+            erode_radius=erode_radius, width=width, height=height,
+            sensor=sensor, max_new=max_new))(
+            Tcws, depths, masks, labels, scores, det_valid, cluster_ids,
+            n_clusters)
+        # evidence sums: one psum; everything else gathers so the fold can
+        # run replicated (identical on every device — no divergence)
+        fg_sum = jax.lax.psum(jnp.sum(per["fg_add"], 0), "data")
+        bg_sum = jax.lax.psum(jnp.sum(per["bg_add"], 0), "data")
+        g = lambda a: jax.lax.all_gather(a, "data", axis=0, tiled=True)
+        bank3, packs = O.chunk_fold(
+            bank, fg_sum, bg_sum, g(per["midx"]), g(per["active"]),
+            g(labels), g(scores), g(per["pw"]), g(per["chosen"]),
+            g(per["hu"]), g(per["cen"]), g(n_clusters), color_table,
+            min_point_count)
+        return bank3, packs
+
+    fn = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P("data"), P("data"), P("data"), P("data"),
+                  P("data"), P("data"), P("data"), P("data"), P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False)
+    return jax.jit(fn)
+
+
+def keyframe_chunk_sharded(mesh: Mesh, bank: O.ObjectBank,
+                           Tcws: jnp.ndarray, depths: jnp.ndarray,
+                           masks: jnp.ndarray, labels: jnp.ndarray,
+                           scores: jnp.ndarray, det_valid: jnp.ndarray,
+                           cluster_ids: jnp.ndarray, n_clusters: jnp.ndarray,
+                           color_table: jnp.ndarray, intr: Intrinsics,
+                           scalars: Tuple[float, ...], *,
+                           n_clusters_cap: int, erode_radius: int,
+                           width: int = 640, height: int = 480,
+                           sensor: int = 2, max_new: int = 1024):
+    """Keyframe-DP engine chunk: the per-keyframe perception half (DoN-mask
+    fusion, erosion, bank projection/matching, candidate top-k — all the
+    pixel work) shards over the ``data`` axis; evidence psums once; the
+    deterministic bank fold replicates. Chunk-snapshot semantics identical
+    to ``objects.keyframe_chunk_phase`` on one device (same fold
+    arithmetic), which is the engine's batched mode — THE scale-out axis
+    SURVEY §2.3 headlines for stage 2.
+
+    K (= Tcws.shape[0]) must divide by the data-axis size. scalars =
+    (prob_thd, min_depth, max_depth, min_area, max_area, min_point_count,
+    score_margin, overlap_thd) as python floats (hashed into the cache key).
+    """
+    prog = _chunk_prog(mesh, n_clusters_cap, erode_radius, width, height,
+                       sensor, max_new)
+    sc = tuple(jnp.float32(s) if i != 5 else jnp.int32(s)
+               for i, s in enumerate(scalars))
+    return prog(bank, Tcws, depths, masks, labels, scores, det_valid,
+                cluster_ids, n_clusters, color_table, sc, intr)
+
+
+@functools.lru_cache(maxsize=64)
 def _tsdf_integrate_prog(mesh: Mesh, D: int, voxel_size: float,
                          trunc_margin: float, max_depth: float):
     n_shards = mesh.shape["data"]

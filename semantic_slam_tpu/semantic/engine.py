@@ -151,6 +151,76 @@ class Engine:
         if self.viewer is not None:
             self.viewer.update(self.bank, Tcw)
 
+    def run_chunk(self, frames, mesh=None):
+        """Process a CHUNK of keyframes in one fused device program
+        (chunk-snapshot semantics — see ``objects.keyframe_chunk_phase``),
+        optionally sharding the per-keyframe perception work over a device
+        ``mesh`` (keyframe data parallelism, SURVEY §2.3; the reference's
+        per-keyframe loop ``examples/label_instance_rgbd.cpp:77-110`` is
+        its sequential ancestor).
+
+        frames: list of (kf_id, depth [H, W] np, Tcw [4, 4] np,
+        Detections). With a mesh, len(frames) must divide by the mesh's
+        ``data`` axis.
+        """
+        if not frames:
+            return
+        e = self.cfg.engine
+        K = len(frames)
+        t0 = time.perf_counter()
+        depths = jnp.stack([jnp.asarray(d, jnp.float32)
+                            for _, d, _, _ in frames])
+        Tcws = jnp.stack([jnp.asarray(T, jnp.float32)
+                          for _, _, T, _ in frames])
+        dres = [self.don.extract(depths[i]) for i in range(K)]
+        cluster_ids = jnp.stack([r.cluster_id for r in dres])
+        n_clusters = jnp.stack([r.n_clusters for r in dres])
+        self.timing["don"].append(time.perf_counter() - t0)
+
+        t0 = time.perf_counter()
+        masks = jnp.stack([
+            dets.masks if isinstance(dets.masks, jax.Array)
+            else jnp.asarray(np.asarray(dets.masks, bool))
+            for _, _, _, dets in frames])                 # [K, M, H, W]
+        labels = jnp.asarray(np.stack([np.asarray(d.labels)
+                                       for _, _, _, d in frames]), jnp.int32)
+        scores = jnp.asarray(np.stack([np.asarray(d.scores)
+                                       for _, _, _, d in frames]), jnp.float32)
+        det_valid = jnp.asarray(np.stack([np.asarray(d.valid)
+                                          for _, _, _, d in frames]))
+        masks = masks & det_valid[:, :, None, None]
+        statics = dict(n_clusters_cap=self.cfg.don.max_clusters,
+                       erode_radius=self._erode_r,
+                       width=self.cfg.camera.width,
+                       height=self.cfg.camera.height,
+                       sensor=e.sensor, max_new=1024)
+        if mesh is not None:
+            from semantic_slam_tpu.parallel import stage2
+            bank, packs = stage2.keyframe_chunk_sharded(
+                mesh, self.bank, Tcws, depths, masks, labels, scores,
+                det_valid, cluster_ids, n_clusters, self._color_table,
+                self.intr,
+                (float(e.prob_thd), float(e.min_depth), float(e.max_depth),
+                 float(e.min_area), float(e.max_area),
+                 int(e.min_point_count), float(e.score_margin),
+                 float(e.overlap)), **statics)
+        else:
+            bank, packs = O.keyframe_chunk_phase(
+                self.bank, Tcws, depths, self.intr, masks, labels, scores,
+                det_valid, cluster_ids, n_clusters, self._color_table,
+                jnp.float32(e.prob_thd), jnp.float32(e.min_depth),
+                jnp.float32(e.max_depth), jnp.float32(e.min_area),
+                jnp.float32(e.max_area), jnp.int32(e.min_point_count),
+                jnp.float32(e.score_margin), jnp.float32(e.overlap),
+                **statics)
+        self.bank = bank
+        for i, (kf_id, depth, Tcw, dets) in enumerate(frames):
+            self._pending.append((packs[i], dets, int(kf_id),
+                                  np.asarray(Tcw), depths[i], Tcws[i]))
+        self.timing["track"].append(time.perf_counter() - t0)
+        if self.viewer is not None or len(self._pending) >= self._max_pending:
+            self.flush()
+
     def flush(self):
         """Materialize queued keyframe packs and apply the host-side
         Inventory bookkeeping (observation records, opt-in per-object TSDF).
@@ -166,6 +236,7 @@ class Engine:
         t0 = time.perf_counter()
         packs = jax.device_get([p[0] for p in pending])
         self.timing["readback"].append(time.perf_counter() - t0)
+        tsdf_jobs: Dict[int, list] = {}
         for pack, (pack_d, detections, kf_id, Tcw, depth_j, Tcw_j) in zip(
                 packs, pending):
             t0 = time.perf_counter()
@@ -188,17 +259,15 @@ class Engine:
                         centroid=rows[i, 11:13].copy())
             self.timing["insert"].append(time.perf_counter() - t0)
             if self.enable_tsdf:
-                # per-mask integrates dispatch back-to-back (they pipeline);
-                # masks index straight into the (possibly device-resident)
-                # detection array — no host round trip
-                tt = time.perf_counter()
                 for i in range(M):
                     if rows[i, 1] < 0.5:
                         continue
-                    self._integrate_tsdf(
-                        int(rows[i, 0]), jnp.asarray(detections.masks[i]),
-                        depth_j, Tcw_j)
-                self.timing["tsdf"].append(time.perf_counter() - tt)
+                    tsdf_jobs.setdefault(int(rows[i, 0]), []).append(
+                        (detections.masks[i], depth_j, Tcw_j))
+        if tsdf_jobs:
+            tt = time.perf_counter()
+            self._integrate_tsdf_jobs(tsdf_jobs)
+            self.timing["tsdf"].append(time.perf_counter() - tt)
 
     def track_by_contours(self, mask: jnp.ndarray, label: int, score: float,
                           Tcw: np.ndarray,
@@ -282,29 +351,48 @@ class Engine:
         free = np.nonzero(~np.asarray(self.bank.obj_valid))[0]
         return int(free[0]) if len(free) else -1
 
-    def _integrate_tsdf(self, oidx: int, mask, depth_j, Tcw_j):
+    def _integrate_tsdf_jobs(self, jobs: Dict[int, list]):
         """Per-object TSDF fusion from mask-multiplied depth (the
-        Object::Integrate contract). Volume anchored at the first observing
-        keyframe with the masked-depth min-corner origin (Object.cpp:22-49)."""
+        Object::Integrate contract, Engine.cpp:192-193). jobs maps object
+        slot -> [(mask [H, W], depth_j, Tcw_j), ...] across the whole
+        deferred-keyframe window; each object's sequence integrates as ONE
+        scanned program (bucketed length), so a flush costs one dispatch
+        per object instead of one per (object, keyframe). Volumes anchor at
+        the first observing keyframe with the masked-depth min-corner
+        origin (Object.cpp:22-49)."""
         from semantic_slam_tpu.geometry.se3 import se3_inverse
         from semantic_slam_tpu.ops.tsdf import (
-            origin_from_depth, tsdf_blocked_create, tsdf_integrate_blocked)
+            origin_from_depth, tsdf_blocked_create, tsdf_integrate_masked_seq)
 
         t = self.cfg.tsdf
-        masked = jnp.where(mask, depth_j, 0.0)
-        Twc = se3_inverse(Tcw_j)
-        if oidx not in self.tsdf_vols:
-            origin = origin_from_depth(masked, self.intr)
-            # device copy (jnp.array): the volume donates on integrate, so
-            # base2world must not alias the cam2world argument buffer; a
-            # host np.asarray round trip here would block ~30 ms per new
-            # object through a remote transport
-            self.tsdf_vols[oidx] = tsdf_blocked_create(
-                origin, jnp.array(Twc), dim=t.dim, block=8)
-        self.tsdf_vols[oidx] = tsdf_integrate_blocked(
-            self.tsdf_vols[oidx], masked, Twc, self.intr,
-            voxel_size=t.voxel_size, trunc_margin=t.trunc_margin,
-            max_depth=t.max_integrate_depth, block=8)
+        for oidx, items in jobs.items():
+            n = len(items)
+            T = 1
+            while T < n:
+                T *= 2                        # bucket: {1, 2, 4, 8, 16, 32}
+            masks = jnp.stack(
+                [jnp.asarray(m, bool) for m, _, _ in items]
+                + [jnp.zeros_like(jnp.asarray(items[0][0], bool))] * (T - n))
+            depths = jnp.stack([d for _, d, _ in items]
+                               + [items[0][1]] * (T - n))
+            Tcws = jnp.stack([c for _, _, c in items]
+                             + [items[0][2]] * (T - n))
+            Twcs = se3_inverse(Tcws)
+            valid = jnp.asarray(
+                np.arange(T) < n)
+            if oidx not in self.tsdf_vols:
+                masked0 = jnp.where(masks[0], depths[0], 0.0)
+                origin = origin_from_depth(masked0, self.intr)
+                # device copy (jnp.array): the volume donates on integrate,
+                # so base2world must not alias another live buffer; a host
+                # np.asarray round trip here would block ~30 ms per new
+                # object through a remote transport
+                self.tsdf_vols[oidx] = tsdf_blocked_create(
+                    origin, jnp.array(Twcs[0]), dim=t.dim, block=8)
+            self.tsdf_vols[oidx] = tsdf_integrate_masked_seq(
+                self.tsdf_vols[oidx], masks, depths, Twcs, valid, self.intr,
+                voxel_size=t.voxel_size, trunc_margin=t.trunc_margin,
+                max_depth=t.max_integrate_depth, block=8)
 
     def save_tsdf_surfaces(self, out_dir: str):
         """Export per-object TSDF surface clouds (tsdfN.ply parity,

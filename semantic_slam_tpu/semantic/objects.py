@@ -270,6 +270,151 @@ def add_segment(bank: ObjectBank, oidx: jnp.ndarray, segment: jnp.ndarray,
                                pt_fg=pt_fg, pt_bg=pt_bg, pt_n=pt_n)
 
 
+def select_candidates(cand: jnp.ndarray, depth: jnp.ndarray,
+                      Tcw: jnp.ndarray, intr: Intrinsics, *,
+                      sensor: int = 2, max_new: int = 1024):
+    """Deterministic pseudo-random subset of up to ``max_new`` candidate
+    pixels, undistorted + backprojected to world (the AddSegment pixel loop
+    body, Object.cpp:684-758). Returns (pw [k, 3] world, chosen [k] bool)."""
+    H, W = depth.shape
+    f32 = jnp.float32
+    flat = cand.reshape(-1)
+    idx = jnp.arange(H * W, dtype=jnp.uint32)
+    prio = jnp.where(flat, (idx * jnp.uint32(2654435761)) >> 12,
+                     jnp.uint32(0))
+    prio = jnp.where(flat, prio | jnp.uint32(1), jnp.uint32(0))
+    k = min(max_new, H * W)
+    topv, topi = jax.lax.top_k(prio.astype(f32), k)
+    chosen = topv > 0
+    py = (topi // W).astype(f32)
+    px = (topi % W).astype(f32)
+    uv_und = undistort_points(intr, jnp.stack([px, py], -1))
+    rngv = depth.reshape(-1)[topi]
+    x = (uv_und[:, 0] - intr.cx) / intr.fx
+    y = (uv_und[:, 1] - intr.cy) / intr.fy
+    d = rngv / jnp.sqrt(x * x + y * y + 1.0) if sensor == 1 else rngv
+    pc = jnp.stack([d * x, d * y, d], -1)
+    pw = jnp.einsum("ji,nj->ni", Tcw[:3, :3], pc - Tcw[:3, 3])
+    return pw, chosen
+
+
+def assign_slots(obj_valid: jnp.ndarray, midx: jnp.ndarray,
+                 active: jnp.ndarray, leader: jnp.ndarray = None):
+    """Slot assignment for a flat sequence of masks: matched masks keep
+    their object; unmatched active masks take ascending free slots in mask
+    order (the host allocator's ``free[0]`` policy).
+
+    leader (optional, [N] i32): intra-batch identity merge — an unmatched
+    mask whose ``leader[i] < i`` does not allocate; it adopts the slot
+    assigned to mask ``leader[i]`` (chunk mode: the same physical object
+    seen from several keyframes of one chunk creates ONE object, as the
+    sequential loop would). Default: every mask is its own leader.
+
+    Returns (oidx [N] final slot or -1, has_slot [N] allocating-mask flags,
+    new_rank [N] creation rank of allocating masks)."""
+    i32 = jnp.int32
+    B = obj_valid.shape[0]
+    N = midx.shape[0]
+    if leader is None:
+        leader = jnp.arange(N, dtype=i32)
+    is_new = active & (midx < 0)
+    alloc = is_new & (leader == jnp.arange(N))
+    free_sorted = jnp.nonzero(~obj_valid, size=B, fill_value=B - 1)[0]
+    n_free = jnp.sum(~obj_valid).astype(i32)
+    new_rank = jnp.cumsum(alloc.astype(i32)) - 1
+    has_slot = alloc & (new_rank < n_free)
+    assigned = jnp.where(has_slot,
+                         free_sorted[jnp.clip(new_rank, 0, B - 1)], -1)
+    # followers adopt their leader's assignment
+    adopted = assigned[jnp.clip(leader, 0, N - 1)]
+    assigned = jnp.where(alloc, assigned, jnp.where(is_new, adopted, -1))
+    oidx = jnp.where(midx >= 0, midx, assigned).astype(i32)
+    return oidx, has_slot, new_rank
+
+
+def assign_densify_insert(bank1: ObjectBank, midx: jnp.ndarray,
+                          active: jnp.ndarray, labels: jnp.ndarray,
+                          scores: jnp.ndarray, pw_all: jnp.ndarray,
+                          chosen_all: jnp.ndarray, color_table: jnp.ndarray,
+                          min_point_count, leader: jnp.ndarray = None):
+    """Phase B of the per-keyframe pass, over a FLAT mask sequence [N]
+    (one keyframe's M masks, or a chunk's K*M masks in lexicographic
+    (keyframe, mask) order): free-slot assignment, batched init_object,
+    sequential densification fold, and the insert-or-delete rule
+    (Engine.cpp:184-250). pw_all/chosen_all are the precomputed
+    world-space densification candidates (pose- and depth-resolved by the
+    caller, so the fold itself is keyframe-agnostic).
+
+    Returns (bank, oidx [N], proc [N], has_slot [N], kept [N])."""
+    B, P = bank1.pt_valid.shape
+    N = midx.shape[0]
+    f32, i32 = jnp.float32, jnp.int32
+    k = chosen_all.shape[1]
+
+    oidx_f, has_slot, new_rank = assign_slots(bank1.obj_valid, midx, active,
+                                              leader)
+    proc = active & (oidx_f >= 0)
+
+    # ---- batched init_object for the new slots ---------------------------
+    new_slot = jax.nn.one_hot(jnp.where(has_slot, oidx_f, B),
+                              B, dtype=bool)                       # [N, B]
+    any_new = jnp.any(new_slot, 0)                                 # [B]
+    sel = new_slot.astype(f32)
+    lab_new = jnp.einsum("mb,m->b", sel, labels.astype(f32)).astype(i32)
+    sco_new = jnp.einsum("mb,m->b", sel, scores)
+    seq_new = (bank1.n_created
+               + jnp.einsum("mb,m->b", sel, new_rank.astype(f32)).astype(i32))
+    bank1 = dataclasses.replace(
+        bank1,
+        obj_valid=bank1.obj_valid | any_new,
+        obj_label=jnp.where(any_new, lab_new, bank1.obj_label),
+        obj_score=jnp.where(any_new, sco_new, bank1.obj_score),
+        obj_color=jnp.where(any_new[:, None], color_table, bank1.obj_color),
+        obj_created=jnp.where(any_new, seq_new, bank1.obj_created),
+        pt_valid=jnp.where(any_new[:, None], False, bank1.pt_valid),
+        pt_fg=jnp.where(any_new[:, None], 0.0, bank1.pt_fg),
+        pt_bg=jnp.where(any_new[:, None], 0.0, bank1.pt_bg),
+        pt_n=jnp.where(any_new, 0, bank1.pt_n),
+        n_created=bank1.n_created + jnp.sum(has_slot).astype(i32),
+    )
+
+    # ---- densification: writes sequential (two masks on one object append)
+    def _densify_one(m, bk):
+        oidx = jnp.clip(oidx_f[m], 0, B - 1)
+        okm = chosen_all[m] & proc[m]
+        base = bk.pt_n[oidx]
+        pos = jnp.cumsum(okm.astype(i32)) - 1
+        slot = base + pos
+        ok = okm & (slot < P)
+        slot_c = jnp.clip(slot, 0, P - 1)
+        brow = jnp.full((k,), 0, i32) + oidx
+        pt_xyz = bk.pt_xyz.at[brow, slot_c].set(
+            jnp.where(ok[:, None], pw_all[m], bk.pt_xyz[brow, slot_c]))
+        pt_valid = bk.pt_valid.at[brow, slot_c].max(ok)
+        pt_fg = bk.pt_fg.at[brow, slot_c].set(
+            jnp.where(ok, scores[m], bk.pt_fg[brow, slot_c]))
+        pt_bg = bk.pt_bg.at[brow, slot_c].set(
+            jnp.where(ok, 0.0, bk.pt_bg[brow, slot_c]))
+        n_new = jnp.sum(ok).astype(i32)
+        pt_n = bk.pt_n.at[oidx].set(jnp.minimum(base + n_new, P))
+        return dataclasses.replace(bk, pt_xyz=pt_xyz, pt_valid=pt_valid,
+                                   pt_fg=pt_fg, pt_bg=pt_bg, pt_n=pt_n)
+
+    bank2 = jax.lax.fori_loop(0, N, _densify_one, bank1)
+
+    # ---- insert-or-delete (HasEnoughObjectPoints) ------------------------
+    kept = proc & (bank2.pt_n[jnp.clip(oidx_f, 0, B - 1)]
+                   > min_point_count)                              # [N]
+    rel_slot = jnp.any(new_slot & (has_slot & ~kept)[:, None], 0)  # [B]
+    bank3 = dataclasses.replace(
+        bank2,
+        obj_valid=bank2.obj_valid & ~rel_slot,
+        pt_valid=jnp.where(rel_slot[:, None], False, bank2.pt_valid),
+        pt_n=jnp.where(rel_slot, 0, bank2.pt_n),
+    )
+    return bank3, oidx_f, proc, has_slot, kept
+
+
 class KeyframeBatch(NamedTuple):
     """Device outputs of the fused per-keyframe mask pass (phase A)."""
     bank: ObjectBank       # probability-updated bank (matched masks applied)
@@ -475,42 +620,7 @@ def keyframe_phase_ab(bank: ObjectBank, Tcw: jnp.ndarray, depth: jnp.ndarray,
     bank1 = dataclasses.replace(bank, pt_fg=bank.pt_fg + gate_f * fg_add,
                                 pt_bg=bank.pt_bg + gate_f * bg_add)
 
-    # ---- slot assignment: unmatched masks take ascending free slots -------
-    is_new = area_ok & (midx < 0) & have                           # [M]
-    free_sorted = jnp.nonzero(~bank.obj_valid, size=B,
-                              fill_value=B - 1)[0]                 # [B]
-    n_free = jnp.sum(~bank.obj_valid).astype(i32)
-    new_rank = jnp.cumsum(is_new.astype(i32)) - 1                  # [M]
-    has_slot = is_new & (new_rank < n_free)
-    assigned = jnp.where(has_slot,
-                         free_sorted[jnp.clip(new_rank, 0, B - 1)], -1)
-    oidx_f = jnp.where(midx >= 0, midx, assigned).astype(i32)      # [M]
-    proc = area_ok & (oidx_f >= 0) & have                          # [M]
-
-    # ---- batched init_object for the new slots ---------------------------
-    new_slot = jax.nn.one_hot(jnp.where(has_slot, assigned, B),
-                              B, dtype=bool)                       # [M, B]
-    any_new = jnp.any(new_slot, 0)                                 # [B]
-    sel = new_slot.astype(f32)
-    lab_new = jnp.einsum("mb,m->b", sel, labels.astype(f32)).astype(i32)
-    sco_new = jnp.einsum("mb,m->b", sel, scores)
-    seq_new = (bank.n_created
-               + jnp.einsum("mb,m->b", sel, new_rank.astype(f32)).astype(i32))
-    bank1 = dataclasses.replace(
-        bank1,
-        obj_valid=bank1.obj_valid | any_new,
-        obj_label=jnp.where(any_new, lab_new, bank1.obj_label),
-        obj_score=jnp.where(any_new, sco_new, bank1.obj_score),
-        obj_color=jnp.where(any_new[:, None], color_table, bank1.obj_color),
-        obj_created=jnp.where(any_new, seq_new, bank1.obj_created),
-        pt_valid=jnp.where(any_new[:, None], False, bank1.pt_valid),
-        pt_fg=jnp.where(any_new[:, None], 0.0, bank1.pt_fg),
-        pt_bg=jnp.where(any_new[:, None], 0.0, bank1.pt_bg),
-        pt_n=jnp.where(any_new, 0, bank1.pt_n),
-        n_created=bank1.n_created + jnp.sum(has_slot).astype(i32),
-    )
-
-    # ---- densification: candidates precomputed batched, writes sequential -
+    # ---- densification candidates (batched per mask) ---------------------
     def _select(fused_m, oidx_m):
         cand = fused_m & (depth > min_depth) & (depth < max_depth)
         if res_radius > 0:
@@ -521,61 +631,20 @@ def keyframe_phase_ab(bank: ObjectBank, Tcw: jnp.ndarray, depth: jnp.ndarray,
             occ = jnp.zeros((height, width), bool).at[
                 ovi.reshape(-1), oui.reshape(-1)].max(occ_pts.reshape(-1))
             cand = cand & ~_dilate(occ, res_radius)
-        flat = cand.reshape(-1)
-        idx = jnp.arange(height * width, dtype=jnp.uint32)
-        prio = jnp.where(flat, (idx * jnp.uint32(2654435761)) >> 12,
-                         jnp.uint32(0))
-        prio = jnp.where(flat, prio | jnp.uint32(1), jnp.uint32(0))
-        k = min(max_new, height * width)
-        topv, topi = jax.lax.top_k(prio.astype(f32), k)
-        chosen = topv > 0
-        py = (topi // width).astype(f32)
-        px = (topi % width).astype(f32)
-        uv_und = undistort_points(intr, jnp.stack([px, py], -1))
-        rngv = depth.reshape(-1)[topi]
-        x = (uv_und[:, 0] - intr.cx) / intr.fx
-        y = (uv_und[:, 1] - intr.cy) / intr.fy
-        d = rngv / jnp.sqrt(x * x + y * y + 1.0) if sensor == 1 else rngv
-        pc = jnp.stack([d * x, d * y, d], -1)
-        pw = jnp.einsum("ji,nj->ni", Tcw[:3, :3], pc - Tcw[:3, 3])
-        return pw, chosen
+        return select_candidates(cand, depth, Tcw, intr, sensor=sensor,
+                                 max_new=max_new)
 
-    pw_all, chosen_all = jax.vmap(_select)(fused, oidx_f)  # [M,k,3], [M,k]
-    k = chosen_all.shape[1]
+    if res_radius > 0:
+        # oidx is needed for the spacing exclusion; compute assignment first
+        active0 = area_ok & have
+        oidx_pre, _, _ = assign_slots(bank.obj_valid, midx, active0)
+        pw_all, chosen_all = jax.vmap(_select)(fused, oidx_pre)
+    else:
+        pw_all, chosen_all = jax.vmap(_select)(fused, jnp.zeros(M, i32))
 
-    def _densify_one(m, bk):
-        oidx = jnp.clip(oidx_f[m], 0, B - 1)
-        okm = chosen_all[m] & proc[m]
-        base = bk.pt_n[oidx]
-        pos = jnp.cumsum(okm.astype(i32)) - 1
-        slot = base + pos
-        ok = okm & (slot < P)
-        slot_c = jnp.clip(slot, 0, P - 1)
-        brow = jnp.full((k,), 0, i32) + oidx
-        pt_xyz = bk.pt_xyz.at[brow, slot_c].set(
-            jnp.where(ok[:, None], pw_all[m], bk.pt_xyz[brow, slot_c]))
-        pt_valid = bk.pt_valid.at[brow, slot_c].max(ok)
-        pt_fg = bk.pt_fg.at[brow, slot_c].set(
-            jnp.where(ok, scores[m], bk.pt_fg[brow, slot_c]))
-        pt_bg = bk.pt_bg.at[brow, slot_c].set(
-            jnp.where(ok, 0.0, bk.pt_bg[brow, slot_c]))
-        n_new = jnp.sum(ok).astype(i32)
-        pt_n = bk.pt_n.at[oidx].set(jnp.minimum(base + n_new, P))
-        return dataclasses.replace(bk, pt_xyz=pt_xyz, pt_valid=pt_valid,
-                                   pt_fg=pt_fg, pt_bg=pt_bg, pt_n=pt_n)
-
-    bank2 = jax.lax.fori_loop(0, M, _densify_one, bank1)
-
-    # ---- insert-or-delete (HasEnoughObjectPoints) ------------------------
-    kept = proc & (bank2.pt_n[jnp.clip(oidx_f, 0, B - 1)]
-                   > min_point_count)                              # [M]
-    rel_slot = jnp.any(new_slot & (has_slot & ~kept)[:, None], 0)  # [B]
-    bank3 = dataclasses.replace(
-        bank2,
-        obj_valid=bank2.obj_valid & ~rel_slot,
-        pt_valid=jnp.where(rel_slot[:, None], False, bank2.pt_valid),
-        pt_n=jnp.where(rel_slot, 0, bank2.pt_n),
-    )
+    bank3, oidx_f, proc, has_slot, kept = assign_densify_insert(
+        bank1, midx, area_ok & have, labels, scores, pw_all, chosen_all,
+        color_table, min_point_count)
 
     rows = jnp.concatenate([
         oidx_f.astype(f32)[:, None], proc.astype(f32)[:, None],
@@ -584,6 +653,143 @@ def keyframe_phase_ab(bank: ObjectBank, Tcw: jnp.ndarray, depth: jnp.ndarray,
     pack = jnp.concatenate([n_clusters.reshape(1).astype(f32),
                             rows.reshape(-1)])
     return KeyframeBatchAB(bank=bank3, pack=pack, fused=fused)
+
+
+def chunk_perkf(bank: ObjectBank, Tcw: jnp.ndarray, depth: jnp.ndarray,
+                intr: Intrinsics, masks: jnp.ndarray, labels: jnp.ndarray,
+                scores: jnp.ndarray, det_valid: jnp.ndarray,
+                cluster_id: jnp.ndarray, n_clusters: jnp.ndarray,
+                prob_thd, min_depth, max_depth, min_area, max_area,
+                min_point_count, score_margin, overlap_thd, *,
+                n_clusters_cap: int, erode_radius: int, width: int,
+                height: int, sensor: int, max_new: int):
+    """Per-keyframe half of the CHUNK pass: everything that depends only on
+    the chunk-entry bank snapshot and this keyframe's pixels — phase A
+    (match decisions, fg/bg evidence, Hu/centroid, DoN∧mask fusion) plus
+    densification-candidate selection. This is the embarrassingly-parallel
+    part that shards over keyframes (SURVEY §2.3 DP row); the bank fold
+    (chunk_fold) is the only order-dependent remainder."""
+    (masks_er, area_ok, gates, midx, fg_add, bg_add, hu, cen,
+     fused) = _phase_a_core(
+        bank, Tcw, depth, intr, masks, labels, scores, det_valid, cluster_id,
+        prob_thd, min_depth, max_depth, min_area, max_area, min_point_count,
+        score_margin, overlap_thd, n_clusters_cap=n_clusters_cap,
+        erode_radius=erode_radius, width=width, height=height)
+    have = n_clusters > 0
+    gate_f = have.astype(jnp.float32)
+
+    def _select(fused_m):
+        cand = fused_m & (depth > min_depth) & (depth < max_depth)
+        return select_candidates(cand, depth, Tcw, intr, sensor=sensor,
+                                 max_new=max_new)
+
+    pw, chosen = jax.vmap(_select)(fused)
+    return dict(midx=midx, active=area_ok & have, fg_add=gate_f * fg_add,
+                bg_add=gate_f * bg_add, hu=hu, cen=cen, pw=pw,
+                chosen=chosen, n_clusters=n_clusters)
+
+
+def chunk_fold(bank: ObjectBank, fg_sum: jnp.ndarray, bg_sum: jnp.ndarray,
+               midx: jnp.ndarray, active: jnp.ndarray, labels: jnp.ndarray,
+               scores: jnp.ndarray, pw: jnp.ndarray, chosen: jnp.ndarray,
+               hu: jnp.ndarray, cen: jnp.ndarray, n_clusters: jnp.ndarray,
+               color_table: jnp.ndarray, min_point_count):
+    """Replicated fold of a chunk's per-keyframe outputs: evidence sums
+    applied once, then the FLAT (keyframe, mask)-lexicographic slot
+    assignment / init / sequential densify / insert-or-delete — identical
+    arithmetic regardless of how the per-keyframe half was sharded.
+
+    midx/active/labels/scores [K, M], pw [K, M, k, 3], chosen [K, M, k].
+    Returns (bank, packs [K, 1 + M*13]) — per-keyframe packs with the same
+    row layout as keyframe_phase_ab."""
+    K, M = midx.shape
+    f32 = jnp.float32
+    bank1 = dataclasses.replace(bank, pt_fg=bank.pt_fg + fg_sum,
+                                pt_bg=bank.pt_bg + bg_sum)
+    flat = lambda a: a.reshape((K * M,) + a.shape[2:])
+    N = K * M
+    midx_f, active_f = flat(midx), flat(active)
+    labels_f, scores_f = flat(labels), flat(scores)
+    pw_f, chosen_f = flat(pw), flat(chosen)
+
+    # ---- intra-chunk identity merge --------------------------------------
+    # The sequential engine would MATCH keyframe k+1's mask to the object
+    # keyframe k just created; under chunk-snapshot semantics both look
+    # unmatched. Deterministic merge rule: an unmatched mask adopts the
+    # earliest unmatched mask (flat order) with the same label whose
+    # densification-candidate centroid lies within 0.25 m — the same
+    # physical object seen from several chunk keyframes creates ONE object.
+    cnt = jnp.sum(chosen_f, -1).astype(f32)                       # [N]
+    cen3 = (jnp.sum(pw_f * chosen_f[..., None], 1)
+            / jnp.maximum(cnt, 1.0)[:, None])                     # [N, 3]
+    is_new = active_f & (midx_f < 0) & (cnt > 0)
+    d2 = jnp.sum((cen3[:, None, :] - cen3[None, :, :]) ** 2, -1)  # [N, N]
+    compat = (is_new[:, None] & is_new[None, :]
+              & (labels_f[:, None] == labels_f[None, :])
+              & (d2 < 0.25 ** 2))
+    iota = jnp.arange(N)
+    first = jnp.min(jnp.where(compat, iota[None, :], N), axis=1)  # [N]
+    leader = jnp.where(is_new, jnp.minimum(first, iota), iota)
+    # flatten leader chains (a→b→c): two hops cover the centroid-graph
+    # diameter at this radius; any residue self-resolves (leader==itself)
+    leader = leader[leader]
+    leader = leader[leader].astype(jnp.int32)
+
+    bank3, oidx_f, proc, has_slot, kept = assign_densify_insert(
+        bank1, midx_f, active_f, labels_f, scores_f,
+        pw_f, chosen_f, color_table, min_point_count, leader)
+    rows = jnp.concatenate([
+        oidx_f.astype(f32)[:, None], proc.astype(f32)[:, None],
+        has_slot.astype(f32)[:, None], kept.astype(f32)[:, None],
+        flat(hu).astype(f32), flat(cen).astype(f32)], axis=1)   # [K*M, 13]
+    packs = jnp.concatenate([
+        n_clusters.reshape(K, 1).astype(f32),
+        rows.reshape(K, M * 13)], axis=1)                       # [K, 1+M*13]
+    return bank3, packs
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_clusters_cap", "erode_radius", "width", "height", "sensor",
+    "max_new"))
+def keyframe_chunk_phase(bank: ObjectBank, Tcws: jnp.ndarray,
+                         depths: jnp.ndarray, intr: Intrinsics,
+                         masks: jnp.ndarray, labels: jnp.ndarray,
+                         scores: jnp.ndarray, det_valid: jnp.ndarray,
+                         cluster_ids: jnp.ndarray, n_clusters: jnp.ndarray,
+                         color_table: jnp.ndarray, prob_thd, min_depth,
+                         max_depth, min_area, max_area, min_point_count,
+                         score_margin, overlap_thd, *, n_clusters_cap: int,
+                         erode_radius: int, width: int = 640,
+                         height: int = 480, sensor: int = 2,
+                         max_new: int = 1024):
+    """A CHUNK of K keyframes through the engine pass in one program, with
+    chunk-snapshot semantics: every keyframe's masks match/update against
+    the bank as of CHUNK entry — the same faithful batching the per-mask
+    pass applies within one keyframe (the reference's per-mask OpenMP loop,
+    Engine.cpp:170-172, races against keyframe-entry state; here the racing
+    axis widens to a bounded keyframe chunk). Object creation and
+    densification stay sequential in (keyframe, mask) order inside the fold,
+    so results are deterministic and independent of HOW the per-keyframe
+    half is executed — vmapped here, or sharded over a device mesh in
+    ``parallel.stage2.keyframe_chunk_sharded`` (bit-identical discrete
+    outcomes; float evidence sums differ only by reduction order).
+
+    Tcws [K, 4, 4], depths [K, H, W], masks [K, M, H, W] bool, labels/
+    scores/det_valid [K, M], cluster_ids [K, H, W], n_clusters [K].
+    Returns (bank, packs [K, 1 + M*13]).
+    """
+    per = jax.vmap(lambda T, d, m, l, s, v, c, n: chunk_perkf(
+        bank, T, d, intr, m, l, s, v, c, n, prob_thd, min_depth, max_depth,
+        min_area, max_area, min_point_count, score_margin, overlap_thd,
+        n_clusters_cap=n_clusters_cap, erode_radius=erode_radius,
+        width=width, height=height, sensor=sensor, max_new=max_new))(
+        Tcws, depths, masks, labels, scores, det_valid, cluster_ids,
+        n_clusters)
+    fg_sum = jnp.sum(per["fg_add"], 0)
+    bg_sum = jnp.sum(per["bg_add"], 0)
+    return chunk_fold(bank, fg_sum, bg_sum, per["midx"], per["active"],
+                      labels, scores, per["pw"], per["chosen"], per["hu"],
+                      per["cen"], n_clusters, color_table, min_point_count)
 
 
 @functools.partial(jax.jit, static_argnames=("n_clusters_cap",))
