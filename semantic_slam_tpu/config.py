@@ -135,6 +135,12 @@ class TsdfConfig:
     voxel_size: float = 0.004      # 4 mm
     trunc_margin_voxels: float = 5.0
     max_integrate_depth: float = 6.0
+    # exact-path block budget for the hierarchically-culled kernel. A
+    # single OBJECT's truncation band occupies a few hundred 8^3 blocks;
+    # the full-frame default in ops/tsdf.py is 2048. Each budgeted block
+    # costs 512 arbitrary-index depth gathers whether or not it is filled,
+    # so the per-object path must not carry the full-frame budget.
+    max_mixed: int = 512
 
     @property
     def trunc_margin(self) -> float:

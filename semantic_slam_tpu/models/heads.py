@@ -104,28 +104,31 @@ def paste_masks(mask28: jnp.ndarray, boxes: jnp.ndarray, height: int,
     """[N, 28, 28] mask probs + [N, 4] xyxy boxes -> [N, H, W] pasted probs.
 
     Inverse-warp: for every image pixel, sample the 28x28 mask bilinearly
-    where it falls inside the box (dense, static-shape)."""
+    where it falls inside the box. Bilinear sampling on a regular target
+    grid is SEPARABLE, so the paste is two batched matmuls
+    (Wy [N,H,S] @ mask [N,S,S] @ Wxᵀ [N,S,W]) on the MXU — the gather
+    formulation (4 arbitrary-index taps × N·H·W) ran ~50× below HBM
+    bandwidth and was the entire cost of full-image inference (~104 ms of a
+    107 ms VGA forward; the matmul paste is sub-ms)."""
     N, S, _ = mask28.shape
-    ys = jnp.arange(height, dtype=jnp.float32)[None, :, None]
-    xs = jnp.arange(width, dtype=jnp.float32)[None, None, :]
-    x0 = boxes[:, 0][:, None, None]
-    y0 = boxes[:, 1][:, None, None]
-    bw = jnp.maximum(boxes[:, 2][:, None, None] - x0, 1e-3)
-    bh = jnp.maximum(boxes[:, 3][:, None, None] - y0, 1e-3)
-    u = (xs - x0) / bw * S - 0.5
-    v = (ys - y0) / bh * S - 0.5
-    inside = (u > -0.5) & (u < S - 0.5) & (v > -0.5) & (v < S - 0.5)
-    u = jnp.clip(u, 0.0, S - 1.001)
-    v = jnp.clip(v, 0.0, S - 1.001)
-    u0 = jnp.floor(u).astype(jnp.int32)
-    v0 = jnp.floor(v).astype(jnp.int32)
-    fu = u - u0
-    fv = v - v0
-    n_idx = jnp.arange(N)[:, None, None]
-    m00 = mask28[n_idx, v0, u0]
-    m01 = mask28[n_idx, v0, jnp.minimum(u0 + 1, S - 1)]
-    m10 = mask28[n_idx, jnp.minimum(v0 + 1, S - 1), u0]
-    m11 = mask28[n_idx, jnp.minimum(v0 + 1, S - 1), jnp.minimum(u0 + 1, S - 1)]
-    m = (m00 * (1 - fu) * (1 - fv) + m01 * fu * (1 - fv)
-         + m10 * (1 - fu) * fv + m11 * fu * fv)
-    return jnp.where(inside, m, 0.0)
+    ys = jnp.arange(height, dtype=jnp.float32)
+    xs = jnp.arange(width, dtype=jnp.float32)
+    x0 = boxes[:, 0][:, None]
+    y0 = boxes[:, 1][:, None]
+    bw = jnp.maximum(boxes[:, 2][:, None] - x0, 1e-3)
+    bh = jnp.maximum(boxes[:, 3][:, None] - y0, 1e-3)
+    u = (xs[None, :] - x0) / bw * S - 0.5            # [N, W] mask-grid coords
+    v = (ys[None, :] - y0) / bh * S - 0.5            # [N, H]
+    inside_x = (u > -0.5) & (u < S - 0.5)
+    inside_y = (v > -0.5) & (v < S - 0.5)
+    uc = jnp.clip(u, 0.0, S - 1.001)
+    vc = jnp.clip(v, 0.0, S - 1.001)
+    # triangle kernel == bilinear weights on the clipped coordinate (each
+    # row has at most two nonzeros; identical taps/weights to the floor/frac
+    # formulation including the edge clamp)
+    grid = jnp.arange(S, dtype=jnp.float32)
+    Wx = jnp.maximum(0.0, 1.0 - jnp.abs(uc[:, :, None] - grid))  # [N, W, S]
+    Wy = jnp.maximum(0.0, 1.0 - jnp.abs(vc[:, :, None] - grid))  # [N, H, S]
+    m = jnp.einsum("nhs,nst,nwt->nhw", Wy,
+                   mask28.astype(jnp.float32), Wx)
+    return jnp.where(inside_y[:, :, None] & inside_x[:, None, :], m, 0.0)

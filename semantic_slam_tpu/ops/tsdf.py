@@ -292,12 +292,13 @@ def tsdf_integrate_blocked(
     ts_b = jnp.where(free_row, ts_free, vol.tsdf)
     wt_b = jnp.where(free_row, w_old + 1.0, vol.weight)
 
-    # ---- mixed blocks: exact path over a capped top-k selection ---------
+    # ---- mixed blocks: exact path over a capped stream compaction -------
+    # (compact_indices = prefix-sum matmuls + one-hot matvec; lax.top_k
+    # would bitonic-sort all nb^3 lanes every integrate)
+    from semantic_slam_tpu.ops.compact import compact_indices
     mixed_flat = mixed.reshape(-1)
-    score = mixed_flat.astype(jnp.float32)
     k = min(max_mixed, nb ** 3)
-    topv, bid = jax.lax.top_k(score, k)
-    bvalid = topv > 0
+    bid, bvalid = compact_indices(mixed_flat, k)
 
     rows_ts = ts_b[bid]                        # [k, block^3] contiguous rows
     rows_wt = wt_b[bid]

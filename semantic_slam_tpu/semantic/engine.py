@@ -392,7 +392,8 @@ class Engine:
             self.tsdf_vols[oidx] = tsdf_integrate_masked_seq(
                 self.tsdf_vols[oidx], masks, depths, Twcs, valid, self.intr,
                 voxel_size=t.voxel_size, trunc_margin=t.trunc_margin,
-                max_depth=t.max_integrate_depth, block=8)
+                max_depth=t.max_integrate_depth, block=8,
+                max_mixed=t.max_mixed)
 
     def save_tsdf_surfaces(self, out_dir: str):
         """Export per-object TSDF surface clouds (tsdfN.ply parity,

@@ -7,11 +7,18 @@ block* Schur path, which is where the MXU lives:
 
   - Residuals/Jacobians for every observation in one batched pass over the
     padded observation table [P, O] (P points, O obs slots each).
-  - Point blocks Hpp [P,3,3] inverted in closed form (batched 3x3).
-  - The reduced camera system S = Hcc − W Hpp⁻¹ Wᵀ is assembled with one
-    einsum over per-point observation pairs ([P,O,O,6,6] contributions) and a
-    scatter-add into the dense [6K, 6K] matrix — K ≤ a few hundred keyframes
-    makes the dense solve (Cholesky on MXU) cheap.
+  - Point blocks Hpp [P,3,3] inverted in closed form (batched adjugate —
+    elementwise, no LU).
+  - The reduced camera system S = Hcc − W Hpp⁻¹ Wᵀ is assembled as ONE
+    matmul: with the one-hot camera-incidence E [P,O,K] (kidx is static
+    across LM steps), B[p,k,:,:] = Σ_o E·Wcp folds the observation axis
+    once, A = B·Hpp⁻¹, and S = A·Bᵀ contracted over (p, 3) gives the dense
+    [6K, 6K] directly. No arbitrary-index gather/scatter anywhere on the
+    iteration path (XLA scatters run ~50× below HBM bandwidth on TPU) and
+    no [P,O,O,6,6] pair intermediate.
+  - Each LM iteration solves TWO damping candidates (λ and λ/5) in one
+    vmapped Cholesky solve and keeps the better — faster cost descent per
+    sequential step, which is what the latency-bound chain needs.
   - LM damping with accept/reject inside lax.scan (no host round-trips).
 
 Observation model and robustness mirror the reference semantics: Huber on
@@ -26,6 +33,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import jax.scipy.linalg
 
 from semantic_slam_tpu.geometry.camera import Intrinsics, project
 from semantic_slam_tpu.geometry.se3 import se3_exp, orthonormalize_pose
@@ -77,6 +85,23 @@ def _robust_cost(chi2):
                              2.0 * jnp.sqrt(delta2 * jnp.maximum(chi2, 1e-12)) - delta2))
 
 
+def _inv3x3(A):
+    """Batched closed-form 3x3 inverse (adjugate/det) — elementwise VPU work,
+    no LU factorization latency."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    c00, c01, c02 = e * i - f * h, c * h - b * i, b * f - c * e
+    c10, c11, c12 = f * g - d * i, a * i - c * g, c * d - a * f
+    c20, c21, c22 = d * h - e * g, b * g - a * h, a * e - b * d
+    det = a * c00 + b * c10 + c * c20
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-30, det, 1e-30)
+    adj = jnp.stack([jnp.stack([c00, c01, c02], -1),
+                     jnp.stack([c10, c11, c12], -1),
+                     jnp.stack([c20, c21, c22], -1)], -2)
+    return adj * inv_det[..., None, None]
+
+
 @functools.partial(jax.jit, static_argnames=("iters", "trim_rounds"))
 def bundle_adjust(intr: Intrinsics, prob: BAProblem, *, iters: int = 10,
                   trim_rounds: int = 2) -> BAResult:
@@ -91,9 +116,29 @@ def bundle_adjust(intr: Intrinsics, prob: BAProblem, *, iters: int = 10,
     base_valid = (prob.obs_kf >= 0) & (prob.obs_w > 0) & prob.pt_valid[:, None]
     kidx = jnp.clip(prob.obs_kf, 0, None)
     obs_valid = base_valid  # rebound inside rounds via trim mask
+    # One-hot camera incidence [P, O, K]: kidx is constant across the whole
+    # optimization, so every pose gather / Schur scatter becomes a matmul
+    # against E (MXU) instead of an arbitrary-index memory op.
+    Ecam = (kidx[..., None] == jnp.arange(K)).astype(jnp.float32)
+    free = ~prob.cam_fixed
+    free6 = jnp.repeat(free, 6)
+    eyeK6 = jnp.eye(K * 6)
 
-    def build_and_solve(kf_pose, pt_xyz, lam, obs_valid):
-        r, pc, R = _residuals(intr, kf_pose, pt_xyz, prob.obs_kf, prob.obs_uv)
+    def gather_pose(kf_pose):
+        return jnp.einsum("poc,cij->poij", Ecam, kf_pose)    # [P, O, 4, 4]
+
+    def residuals_of(kf_pose, pt_xyz):
+        T = gather_pose(kf_pose)
+        R = T[..., :3, :3]
+        t = T[..., :3, 3]
+        pc = jnp.einsum("poij,pj->poi", R, pt_xyz) + t       # [P, O, 3]
+        uv, _ = project(intr, pc)
+        return uv - prob.obs_uv, pc, R
+
+    def build_and_solve(kf_pose, pt_xyz, lam_pair, obs_valid):
+        """One linearization, TWO damping candidates solved in one batch.
+        Returns candidate (poses [2,K,4,4], xyzs [2,P,3])."""
+        r, pc, R = residuals_of(kf_pose, pt_xyz)
         w_eff, chi2 = _robust_weights(r, prob.obs_w)
         depth_ok = pc[..., 2] > 0.05
         w = jnp.where(obs_valid & depth_ok, w_eff, 0.0)      # [P, O]
@@ -117,80 +162,64 @@ def bundle_adjust(intr: Intrinsics, prob: BAProblem, *, iters: int = 10,
         Jp = Jpix @ R                                        # [P, O, 2, 3] (dpc/dxw = R)
 
         # gauge: zero out jacobians of fixed cameras
-        free = ~prob.cam_fixed
-        cam_free = free[kidx]                                # [P, O]
+        cam_free = jnp.einsum("poc,c->po", Ecam, free.astype(jnp.float32))
         Jc = Jc * cam_free[..., None, None]
 
-        # block builds
-        Hpp = jnp.einsum("poki,po,pokj->pij", Jp, w, Jp)     # [P, 3, 3]
-        # Marquardt damping: scale-relative (absolute damping is hopeless in
-        # f32 against J^2 magnitudes ~1e5), plus a small absolute floor so
-        # zero-observation points stay invertible.
-        dHpp = jnp.diagonal(Hpp, axis1=-2, axis2=-1)
-        Hpp = Hpp + (lam * dHpp + 1e-3)[..., None] * jnp.eye(3)
-        bp = jnp.einsum("poki,po,pok->pi", Jp, w, r)         # [P, 3]
-        Hcc_blocks = jnp.einsum("poki,po,pokj->poij", Jc, w, Jc)  # [P, O, 6, 6]
-        bc_blocks = jnp.einsum("poki,po,pok->poi", Jc, w, r)      # [P, O, 6]
-        Wcp = jnp.einsum("poki,po,pokj->poij", Jc, w, Jp)    # [P, O, 6, 3]
-
-        Hpp_inv = jnp.linalg.inv(Hpp)                        # [P, 3, 3]
-        Ycp = jnp.einsum("poij,pjk->poik", Wcp, Hpp_inv)     # [P, O, 6, 3]
-
-        # Schur contributions for every observation pair of each point:
-        # S[k_o, k_n] -= Ycp_o @ Wcp_n^T   ([P, O, O, 6, 6] intermediate;
-        # fine at local-BA sizes, chunk over P for global problems)
-        S_pair = jnp.einsum("poij,pnkj->ponik", Ycp, Wcp)
-
-        # scatter into dense [K, K, 6, 6]
-        pair_valid = (w[:, :, None] > 0) & (w[:, None, :] > 0)
-        rows = jnp.broadcast_to(kidx[:, :, None], (P, O, O))
-        cols = jnp.broadcast_to(kidx[:, None, :], (P, O, O))
-        flat_idx = (rows * K + cols).reshape(-1)
-        contrib = (S_pair * pair_valid[..., None, None]).reshape(-1, 6, 6)
-        S_cc = jnp.zeros((K * K, 6, 6)).at[flat_idx].add(contrib).reshape(K, K, 6, 6)
-
-        Hcc = jnp.zeros((K, 6, 6)).at[kidx.reshape(-1)].add(
-            Hcc_blocks.reshape(-1, 6, 6))
-        bc = jnp.zeros((K, 6)).at[kidx.reshape(-1)].add(bc_blocks.reshape(-1, 6))
-
-        # b_schur = bc - sum_po Ycp bp
-        b_red_contrib = jnp.einsum("poij,pj->poi", Ycp, bp)
-        b_red = bc - jnp.zeros((K, 6)).at[kidx.reshape(-1)].add(
-            b_red_contrib.reshape(-1, 6))
-
-        # reduced system: S_full = blockdiag(damped Hcc) - S_cc
-        Sm = -S_cc
+        # λ-independent blocks
+        Hpp_raw = jnp.einsum("poki,po,pokj->pij", Jp, w, Jp)  # [P, 3, 3]
+        dHpp = jnp.diagonal(Hpp_raw, axis1=-2, axis2=-1)
+        bp = jnp.einsum("poki,po,pok->pi", Jp, w, r)          # [P, 3]
+        Wcp = jnp.einsum("poki,po,pokj->poij", Jc, w, Jp)     # [P, O, 6, 3]
+        # fold the observation axis ONCE: everything downstream contracts
+        # over (p, k) matmul-style, never over o again.
+        Bm = jnp.einsum("poc,poij->pcij", Ecam, Wcp)          # [P, K, 6, 3]
+        Hcc = jnp.einsum("poc,poki,po,pokj->cij", Ecam, Jc, w, Jc)  # [K, 6, 6]
+        bc = jnp.einsum("poc,poki,po,pok->ci", Ecam, Jc, w, r)      # [K, 6]
         dHcc = jnp.diagonal(Hcc, axis1=-2, axis2=-1)          # [K, 6]
-        diag = Hcc + (lam * dHcc + 1e-3)[..., None] * jnp.eye(6)
-        Sm = Sm.at[jnp.arange(K), jnp.arange(K)].add(diag)
-        Sm_dense = Sm.transpose(0, 2, 1, 3).reshape(K * 6, K * 6)
-        # freeze fixed cameras: identity rows/cols
-        free6 = jnp.repeat(free, 6)
-        Sm_dense = jnp.where(free6[:, None] & free6[None, :], Sm_dense,
-                             jnp.eye(K * 6))
-        b_dense = jnp.where(free6, b_red.reshape(-1), 0.0)
 
-        # Jacobi preconditioning keeps the f32 solve well-conditioned
-        d = jnp.sqrt(jnp.clip(jnp.diagonal(Sm_dense), 1e-6, None))
-        Sm_n = Sm_dense / (d[:, None] * d[None, :])
-        y = jnp.linalg.solve(Sm_n, b_dense / d)
-        dc = -(y / d).reshape(K, 6)
-        dc = jnp.where(free[:, None], dc, 0.0)
-        dc = jnp.where(jnp.isfinite(dc), dc, 0.0)
+        def solve_one(lam):
+            # Marquardt damping: scale-relative (absolute damping is hopeless
+            # in f32 against J^2 magnitudes ~1e5), plus a small absolute floor
+            # so zero-observation points stay invertible.
+            Hpp = Hpp_raw + (lam * dHpp + 1e-3)[..., None] * jnp.eye(3)
+            Hpp_inv = _inv3x3(Hpp)                            # [P, 3, 3]
+            Am = jnp.einsum("pkij,pjm->pkim", Bm, Hpp_inv)    # [P, K, 6, 3]
+            # dense reduced system as ONE contraction over (p, 3):
+            # S_cc[(k,i),(l,j)] = Σ_p,m A[p,k,i,m] B[p,l,j,m]
+            S_cc = jnp.einsum("pkim,pljm->kilj", Am, Bm).reshape(K * 6, K * 6)
+            b_red = bc - jnp.einsum("pkim,pm->ki", Am, bp)    # [K, 6]
+            diag = Hcc + (lam * dHcc + 1e-3)[..., None] * jnp.eye(6)
+            # place the K damped 6x6 diagonal blocks without a scatter
+            Sm = -S_cc + jnp.einsum("kl,kij->kilj", jnp.eye(K),
+                                    diag).reshape(K * 6, K * 6)
+            # freeze fixed cameras: identity rows/cols
+            Sm = jnp.where(free6[:, None] & free6[None, :], Sm, eyeK6)
+            b_dense = jnp.where(free6, b_red.reshape(-1), 0.0)
 
-        # back-substitute points: dp = -Hpp^-1 (bp + sum_o Wcp^T dc_k)
-        dc_po = dc[kidx]                                     # [P, O, 6]
-        wtd = jnp.einsum("poij,poi->pj", Wcp, dc_po)
-        dp = -jnp.einsum("pij,pj->pi", Hpp_inv, bp + wtd)
-        dp = jnp.where(prob.pt_valid[:, None], dp, 0.0)
+            # Jacobi preconditioning keeps the f32 solve well-conditioned;
+            # the preconditioned system is SPD -> Cholesky, not LU.
+            d = jnp.sqrt(jnp.clip(jnp.diagonal(Sm), 1e-6, None))
+            Sm_n = Sm / (d[:, None] * d[None, :])
+            L = jnp.linalg.cholesky(Sm_n)
+            y = jax.scipy.linalg.cho_solve((L, True), b_dense / d)
+            dc = -(y / d).reshape(K, 6)
+            dc = jnp.where(free[:, None], dc, 0.0)
+            dc = jnp.where(jnp.isfinite(dc), dc, 0.0)
 
-        new_pose = orthonormalize_pose(
-            jax.vmap(lambda x, T: se3_exp(x) @ T)(dc, kf_pose))
-        new_xyz = pt_xyz + dp
-        return new_pose, new_xyz
+            # back-substitute: dp = -Hpp^-1 (bp + Σ_o Wcp^T dc) with the
+            # o-fold already in Bm: Σ_{k,i} B[p,k,i,m] dc[k,i]
+            wtd = jnp.einsum("pkim,ki->pm", Bm, dc)
+            dp = -jnp.einsum("pij,pj->pi", Hpp_inv, bp + wtd)
+            dp = jnp.where(prob.pt_valid[:, None], dp, 0.0)
+
+            new_pose = orthonormalize_pose(
+                jax.vmap(lambda x, T: se3_exp(x) @ T)(dc, kf_pose))
+            return new_pose, pt_xyz + dp
+
+        return jax.vmap(solve_one)(lam_pair)
 
     def chi2_of(kf_pose, pt_xyz):
-        r, pc, _ = _residuals(intr, kf_pose, pt_xyz, prob.obs_kf, prob.obs_uv)
+        r, pc, _ = residuals_of(kf_pose, pt_xyz)
         chi2 = jnp.sum(r * r, -1) * prob.obs_w
         return chi2, pc[..., 2] > 0.05
 
@@ -202,13 +231,18 @@ def bundle_adjust(intr: Intrinsics, prob: BAProblem, *, iters: int = 10,
 
     def lm_step(carry, _):
         kf_pose, pt_xyz, lam, cost, obs_valid = carry
-        cand_pose, cand_xyz = build_and_solve(kf_pose, pt_xyz, lam, obs_valid)
-        cand_cost = cost_of(cand_pose, cand_xyz, obs_valid)
-        accept = cand_cost < cost
-        kf_pose = jnp.where(accept, cand_pose, kf_pose)
-        pt_xyz = jnp.where(accept, cand_xyz, pt_xyz)
-        cost = jnp.where(accept, cand_cost, cost)
-        lam = jnp.where(accept, lam * 0.5, lam * 4.0)
+        lam_pair = jnp.stack([lam, lam * 0.2])
+        cand_pose, cand_xyz = build_and_solve(kf_pose, pt_xyz, lam_pair,
+                                              obs_valid)
+        cand_cost = jax.vmap(
+            lambda po, xy: cost_of(po, xy, obs_valid))(cand_pose, cand_xyz)
+        best = jnp.argmin(cand_cost)
+        cbest = cand_cost[best]
+        accept = cbest < cost
+        kf_pose = jnp.where(accept, cand_pose[best], kf_pose)
+        pt_xyz = jnp.where(accept, cand_xyz[best], pt_xyz)
+        cost = jnp.where(accept, cbest, cost)
+        lam = jnp.where(accept, lam_pair[best] * 0.5, lam * 4.0)
         lam = jnp.clip(lam, 1e-8, 1e4)
         return (kf_pose, pt_xyz, lam, cost, obs_valid), cost
 

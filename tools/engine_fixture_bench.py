@@ -120,6 +120,13 @@ def main():
     out = {"device": None, "variants": []}
     import jax
 
+    # persistent compile cache (same dir bench.py uses): the TSDF flush
+    # path compiles one scanned program per bucket length — one-time cost,
+    # not a per-run cost.
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(__file__), "..", ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     out["device"] = str(jax.devices()[0])
     for enable_tsdf in (False, True):
         print(f"=== variant enable_tsdf={enable_tsdf}", flush=True)
