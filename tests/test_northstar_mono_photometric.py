@@ -113,9 +113,12 @@ def test_northstar_mono_photometric_ring():
 
     pre_p, pre_v, pre_t, kf_cur, kf_loop, S = snaps["pre"]
     # the verifier produced a genuine Sim3 (monocular scale drift is real
-    # but bounded on this sequence)
+    # but bounded on this sequence). The gate brackets the sequence's
+    # actual drift envelope — a >15% scale error in the Sim3 would mean
+    # the verifier latched onto a wrong-scale solution (VERDICT r4 §weak-7
+    # asked for exactly this bound).
     sc = float(np.asarray(sim3_decompose(jnp.asarray(S))[0]))
-    assert 0.7 < sc < 1.4, sc
+    assert 0.9 < sc < 1.15, sc
 
     ks_pre, e_pre = errors(pre_p, pre_v, pre_t)
     ks_post, e_post = errors(sys_.kf_pose, sys_.kf_valid, sys_.kf_timestamps)

@@ -78,7 +78,7 @@ def test_stereo_depth_quality_on_ring():
     assert med < 0.05, f"median stereo depth error {med:.3f}"
 
 
-def test_northstar_stereo_ring_loop_closure():
+def test_northstar_stereo_ring_loop_closure(tmp_path):
     N = 500
     scene = synth.make_ring_scene(seed=0)
     traj = synth.ring_trajectory(N, radius=3.5, laps=1.25)
@@ -122,8 +122,10 @@ def test_northstar_stereo_ring_loop_closure():
     e_post = _kf_errors(sys_, sys_.kf_pose, sys_.kf_valid,
                         sys_.kf_timestamps, gt_rel)
 
-    # (a) genuine accumulated drift at the loop keyframe
-    assert e_pre[kf_cur] > 0.1, f"drift too small to be meaningful: {e_pre[kf_cur]}"
+    # (a) genuine accumulated drift at the loop keyframe (the bar moved
+    # 0.1 -> 0.05 in round 5: the two-candidate-damping BA tracks the ring
+    # ~25% tighter, so pre-closure drift at the loop KF is now ~0.077)
+    assert e_pre[kf_cur] > 0.05, f"drift too small to be meaningful: {e_pre[kf_cur]}"
     # (b) closure shrinks the loop-KF error by >= 5x
     ratio = e_pre[kf_cur] / max(e_post[kf_cur], 1e-9)
     assert ratio >= 5.0, (e_pre[kf_cur], e_post[kf_cur], ratio)
@@ -139,6 +141,32 @@ def test_northstar_stereo_ring_loop_closure():
     assert e_fin[kf_cur] < e_pre[kf_cur] / 5.0, (e_pre[kf_cur], e_fin[kf_cur])
     ate_fin = _ate(e_fin, sorted(set(e_pre) & set(e_fin)))
     assert ate_fin <= ate_post * 1.05, (ate_post, ate_fin)
+
+    # (d) the stereo driver's KITTI-contract exports on the full sequence
+    # (examples/stereo_kitti.cpp:112-117: SaveTrajectoryKITTI + the patched
+    # System's SaveFrameIDs). The KITTI file carries one 3x4 Twc per FRAME
+    # in sequence order; camera centers re-read from the text must
+    # reproduce the post-GBA trajectory against ground truth.
+    kitti = tmp_path / "CameraTrajectory_kitti.txt"
+    fids = tmp_path / "frame_ids.txt"
+    sys_.save_trajectory_kitti(str(kitti))
+    sys_.save_frame_ids(str(fids))
+    rows = np.loadtxt(kitti)
+    assert rows.shape == (N, 12), rows.shape
+    Twc = rows.reshape(N, 3, 4)
+    centers = Twc[:, :3, 3]
+    gt_centers = np.stack([_cam_center(gt_rel[i]) for i in range(N)])
+    ate_frames = float(np.sqrt(((centers - gt_centers) ** 2)
+                               .sum(-1).mean()))
+    assert ate_frames < 0.25, ate_frames
+    # frame_ids: one line per surviving keyframe (slot order), each id the
+    # source frame index — the stage-2 association key
+    ids = np.loadtxt(fids, dtype=np.int64, ndmin=1)
+    expect = [int(sys_.kf_frame_id[k]) for k in range(sys_.K)
+              if sys_.kf_valid[k]]
+    assert ids.tolist() == expect, (len(ids), len(expect))
+    assert len(set(expect)) == len(expect)          # unique source frames
+    assert all(0 <= i < N for i in expect)
 
 
 def test_stereo_pixels_first_tracking():
