@@ -99,7 +99,13 @@ def clutter_dataset(n_images, cam, seed=0):
 
 def fps_full_res(ckpt_path, n=20) -> dict:
     """End-to-end 480x640 detector fps (pool->infer->mask upscale) and
-    native 240x320 model fps."""
+    native 240x320 model fps.
+
+    Two e2e numbers: per-call (each predict blocks on its small-field
+    readback — through the axon tunnel that is ~30 ms of pure transport
+    RTT per frame, the floor for a synchronous caller) and pipelined
+    (AsyncDetector, the configuration every driver actually uses — the
+    readbacks overlap with the next frame's device work)."""
     det = MaskRCNNDetector(checkpoint_path=ckpt_path, max_masks=16,
                            score_threshold=0.8)
     rs = np.random.RandomState(0)
@@ -109,6 +115,18 @@ def fps_full_res(ckpt_path, n=20) -> dict:
     for _ in range(n):
         det.predict(rgb)
     e2e = n / (time.perf_counter() - t0)
+
+    from semantic_slam_tpu.semantic.detector import AsyncDetector
+    with AsyncDetector(det, queue_size=4) as adet:
+        for _ in range(4):
+            adet.submit(rgb)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            adet.submit(rgb)
+            adet.result()
+        for _ in range(4):
+            adet.result()
+        piped = (n + 4) / (time.perf_counter() - t0)
 
     img_s = jnp.asarray(rs.uniform(0, 255, (240, 320, 3)), jnp.float32)
     infer = jax.jit(lambda p, im: det.model.apply(p, im)["scores"])
@@ -120,12 +138,31 @@ def fps_full_res(ckpt_path, n=20) -> dict:
     np.asarray(out)
     native = n / (time.perf_counter() - t0)
     return {"fps_480x640_e2e": round(e2e, 1),
+            "fps_480x640_pipelined": round(piped, 1),
             "fps_240x320_model": round(native, 1)}
 
 
 def main():
     data_dir = os.path.join(os.path.dirname(__file__), "..",
                             "semantic_slam_tpu", "data")
+    art_path = os.path.join(os.path.dirname(__file__), "..", "artifacts",
+                            "detector_stress.json")
+    if "--fps-only" in sys.argv:
+        # refresh only the fps fields of the committed artifact (the eval
+        # grids are unchanged by inference-speed work)
+        with open(art_path) as f:
+            out = json.load(f)
+        for name, entry in out["checkpoints"].items():
+            path = os.path.join(data_dir, name)
+            entry.update(fps_full_res(path))
+            print(f"{name}: {entry['fps_480x640_e2e']} e2e, "
+                  f"{entry['fps_480x640_pipelined']} pipelined, "
+                  f"{entry['fps_240x320_model']} native", flush=True)
+        with open(art_path, "w") as f:
+            json.dump(out, f, indent=2)
+            f.write("\n")
+        print("wrote", os.path.abspath(art_path), flush=True)
+        return
     cam = half_cam()
     n_eval = 16
     print("rendering eval sets ...", flush=True)

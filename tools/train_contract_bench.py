@@ -75,7 +75,6 @@ def main() -> None:
         place, shard_batch, step = make_sharded_train_step(model, mesh, tx)
         ctx = mesh
     else:
-        from semantic_slam_tpu.parallel.train import make_sharded_train_step
         mesh = make_mesh(1, model_parallel=1)
         place, shard_batch, step = make_sharded_train_step(model, mesh, tx)
         ctx = mesh
