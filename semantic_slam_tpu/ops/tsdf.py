@@ -387,9 +387,23 @@ def tsdf_integrate_masked_seq(
     from semantic_slam_tpu.ops.compact import compact_indices
 
     def step(carry, x):
-        acc_d, acc_n, free_m = carry
+        # padding rows (valid=False) skip the whole body via lax.cond —
+        # callers can use ONE fixed bucket length (one compiled program per
+        # process) instead of power-of-2 bucketing, which compiled a fresh
+        # fat scan per bucket (10-40 s each at engine-flush time).
         m, d, c2w, okv = x
-        depth = jnp.where(m & okv, d, 0.0)
+
+        def dead(carry):
+            return carry
+
+        def live(carry):
+            return _seq_step_body(carry, m, d, c2w)
+
+        return jax.lax.cond(okv, live, dead, carry), None
+
+    def _seq_step_body(carry, m, d, c2w):
+        acc_d, acc_n, free_m = carry
+        depth = jnp.where(m, d, 0.0)
         cam2base = base2world_inv @ c2w
         R = cam2base[:3, :3]
         t = cam2base[:3, 3]
@@ -493,7 +507,7 @@ def tsdf_integrate_masked_seq(
         safe_bid = jnp.where(bvalid, bid, nb3)   # out-of-range -> dropped
         acc_d = acc_d.at[safe_bid].add(dist, mode="drop")
         acc_n = acc_n.at[safe_bid].add(okp.astype(f32), mode="drop")
-        return (acc_d, acc_n, free_m), None
+        return (acc_d, acc_n, free_m)
 
     zeros = jnp.zeros((nb3, bs3), f32)
     (acc_d, acc_n, free_m), _ = jax.lax.scan(

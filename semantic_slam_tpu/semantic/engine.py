@@ -259,11 +259,19 @@ class Engine:
                         centroid=rows[i, 11:13].copy())
             self.timing["insert"].append(time.perf_counter() - t0)
             if self.enable_tsdf:
+                # merge masks that tracked to the SAME object in this
+                # keyframe (OR) so each object integrates each keyframe
+                # once — several detections can land on one object, and
+                # each extra mask costs a full ~3.7 ms scan step
+                per_obj: Dict[int, object] = {}
                 for i in range(M):
                     if rows[i, 1] < 0.5:
                         continue
-                    tsdf_jobs.setdefault(int(rows[i, 0]), []).append(
-                        (detections.masks[i], depth_j, Tcw_j))
+                    o = int(rows[i, 0])
+                    m = detections.masks[i]
+                    per_obj[o] = m if o not in per_obj else (per_obj[o] | m)
+                for o, m in per_obj.items():
+                    tsdf_jobs.setdefault(o, []).append((m, depth_j, Tcw_j))
         if tsdf_jobs:
             tt = time.perf_counter()
             self._integrate_tsdf_jobs(tsdf_jobs)
@@ -364,12 +372,22 @@ class Engine:
         from semantic_slam_tpu.ops.tsdf import (
             origin_from_depth, tsdf_blocked_create, tsdf_integrate_masked_seq)
 
+        import os as _os
+        dbg = _os.environ.get("SST_TSDF_DEBUG")
         t = self.cfg.tsdf
-        for oidx, items in jobs.items():
+        # ONE fixed bucket length for every scan: padded steps are skipped
+        # by the scan's lax.cond, and longer job lists (several detections
+        # can track to one object per keyframe, so a 32-kf window can queue
+        # >32 jobs for one object) chunk into repeated T-length calls — a
+        # single compiled scan per process. Per-length bucketing compiled a
+        # fresh 13-15 s program per length (T=64, T=128, ...) at flush time.
+        T = max(self._max_pending, 1)
+        chunked = [(oidx, full[c0:c0 + T])
+                   for oidx, full in jobs.items()
+                   for c0 in range(0, len(full), T)]
+        for oidx, items in chunked:
+            tdbg = time.perf_counter()
             n = len(items)
-            T = 1
-            while T < n:
-                T *= 2                        # bucket: {1, 2, 4, 8, 16, 32}
             masks = jnp.stack(
                 [jnp.asarray(m, bool) for m, _, _ in items]
                 + [jnp.zeros_like(jnp.asarray(items[0][0], bool))] * (T - n))
@@ -389,11 +407,17 @@ class Engine:
                 # object through a remote transport
                 self.tsdf_vols[oidx] = tsdf_blocked_create(
                     origin, jnp.array(Twcs[0]), dim=t.dim, block=8)
+            tdisp = time.perf_counter()
             self.tsdf_vols[oidx] = tsdf_integrate_masked_seq(
                 self.tsdf_vols[oidx], masks, depths, Twcs, valid, self.intr,
                 voxel_size=t.voxel_size, trunc_margin=t.trunc_margin,
                 max_depth=t.max_integrate_depth, block=8,
                 max_mixed=t.max_mixed)
+            if dbg:
+                print(f"[tsdf] obj {oidx} n={n} T={T} "
+                      f"build {tdisp - tdbg:.2f}s "
+                      f"dispatch {time.perf_counter() - tdisp:.2f}s",
+                      flush=True)
 
     def save_tsdf_surfaces(self, out_dir: str):
         """Export per-object TSDF surface clouds (tsdfN.ply parity,

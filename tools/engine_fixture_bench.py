@@ -144,7 +144,9 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     out["device"] = str(jax.devices()[0])
-    for enable_tsdf in (False, True):
+    variants = ((True,) if os.environ.get("SST_FIXTURE_TSDF_ONLY")
+                else (False, True))
+    for enable_tsdf in variants:
         print(f"=== variant enable_tsdf={enable_tsdf}", flush=True)
         out["variants"].append(run_variant(n_kf, enable_tsdf))
         print(json.dumps(out["variants"][-1]), flush=True)
