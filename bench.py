@@ -92,7 +92,8 @@ SECTIONS = [
     ("tracking", 420),
     ("hamming", 200),
     ("tsdf", 240),
-    ("engine", 350),
+    ("engine", 520),      # includes the fixture-scale phase (12 VGA
+                          # renders + trained detector + TSDF-on stream)
     ("maskrcnn", 520),
     ("don", 240),
 ]
