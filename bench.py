@@ -6,12 +6,18 @@ Prints ONE JSON line:
 Headline metric: stage-1 tracking throughput (ORB extraction + map tracking,
 the reference's per-frame hot loop which it paces to the dataset's 30 Hz —
 reference ``examples/rgbd_tum.cpp:109-117``). vs_baseline = fps / 30.
-Round-4 note: ~289 fps vs round 3's ~409 — the deliberate cost of two-stage
-tracking (TrackWithMotionModel THEN TrackLocalMap re-projection, upstream
-parity): a second Hamming match + pose GN per frame. The single-pass design
-collapsed on monocular sequences (20 matches from a 700-point visible map
-once the motion model drifted half a window); 9.6x the reference's 30 fps
-real-time bar is the right side of that trade.
+Round-4/5 note: ~318 fps vs round 3's ~409 — the deliberate cost of
+two-stage tracking (TrackWithMotionModel THEN TrackLocalMap re-projection,
+upstream parity): a second projection re-gather + pose GN per frame. The
+single-pass design collapsed on monocular sequences (20 matches from a
+700-point visible map once the motion model drifted half a window). The
+frame is latency-bound on sequential GN steps (~0.15 ms each); round 5
+shares the candidate gather/Hamming matrix between stages and runs
+stage 1 at 3 GN rounds (289 -> 318). A confidence-gated lax.cond skip of
+stage 2 was tried and REVERTED: stage 2's tight re-gather raises the
+matchable ceiling, so no stage-1 statistic proves it redundant (the gate
+broke the mono north-star). 10.6x the reference's 30 fps real-time bar
+is the right side of that trade.
 
 Secondary metrics (TSDF Mvoxel/s, DoN segmentation fps, Mask R-CNN fps,
 engine keyframes/s, Hamming matcher rate) go to bench_details.json.

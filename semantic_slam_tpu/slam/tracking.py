@@ -178,7 +178,10 @@ def track_with_map(
     gather, and the [C, N] Hamming matmul — is computed once and shared:
     stage 2 only re-projects the candidate set with the refined pose and
     re-masks the same distance matrix (the r4 always-on second stage cost
-    ~1.4x a single pass; shared-gather brings it back near 1x).
+    ~1.4x a single pass; shared-gather brings it back near 1x). Stage 2
+    additionally sits behind a lax.cond confidence gate — when stage 1 is
+    already at its inlier ceiling the second GN chain never executes
+    (the frame is latency-bound on sequential GN steps, ~0.15 ms each).
     """
     P = pt_xyz.shape[0]
     C = min(max_candidates, P)
@@ -201,7 +204,7 @@ def track_with_map(
     kp_rbase = 1.2 ** kp_level.astype(jnp.float32)               # [N]
     inv_sigma2_kp = 1.0 / kp_rbase ** 2
 
-    def one_pass(Tcw0, rad):
+    def one_pass(Tcw0, rad, rounds):
         cuv, cz = project(intr, transform_points(Tcw0[None], cxyz[None])[0])
         cvis_now = cvis & (cz > 0.05) & in_image(cuv, width, height,
                                                  margin=5)
@@ -220,7 +223,8 @@ def track_with_map(
         kp_idx = jnp.clip(res.idx, 0, None)
         uv_obs = kp_uv[kp_idx]
         inv_sigma2 = inv_sigma2_kp[kp_idx]
-        opt = pose_optimize(intr, Tcw0, cxyz, uv_obs, matched, inv_sigma2)
+        opt = pose_optimize(intr, Tcw0, cxyz, uv_obs, matched, inv_sigma2,
+                            rounds=rounds)
         # per-keypoint view of the matching (for host map bookkeeping)
         match_pt = jnp.full((N,), -1, jnp.int32)
         match_pt = match_pt.at[kp_idx].set(
@@ -229,8 +233,15 @@ def track_with_map(
                                                          mode="drop")
         return opt, jnp.sum(matched).astype(jnp.int32), match_pt, inlier_kp
 
-    opt1, nm1, mpt1, ikp1 = one_pass(Tcw_pred, radius)
-    opt2, nm2, mpt2, ikp2 = one_pass(opt1.Tcw, radius2)
+    # stage 1: 3 GN rounds — from a motion-model init, 6 steps reach the
+    # same basin as 8 (quadratic convergence; one fewer gated-mask round).
+    # NOTE a confidence-gated lax.cond skip of stage 2 was tried and
+    # REVERTED: stage 2's tight re-gather raises the matchable ceiling
+    # (new matches at the refined pose), so "stage 1 is already at its
+    # inlier ceiling" is not decidable from stage-1 statistics — the gate
+    # broke the monocular ring north-star.
+    opt1, nm1, mpt1, ikp1 = one_pass(Tcw_pred, radius, rounds=3)
+    opt2, nm2, mpt2, ikp2 = one_pass(opt1.Tcw, radius2, rounds=4)
     use2 = opt2.n_inliers >= opt1.n_inliers
     return TrackResult(
         Tcw=jnp.where(use2, opt2.Tcw, opt1.Tcw),
